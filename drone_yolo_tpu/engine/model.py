@@ -1,0 +1,155 @@
+"""`YOLO` model facade: one object routing train/val/predict/export/track.
+
+Parity with reference `ultralytics/engine/model.py:29` (Model) + the task_map
+registry pattern of `ultralytics/models/yolo/model.py:26-59`. Weights are Orbax/
+npz pytree checkpoints instead of torch pickles.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from drone_yolo_tpu.cfg import TASK2DATA, get_cfg, get_save_dir
+from drone_yolo_tpu.nn.model import TASK2MODELCLASS, guess_model_task
+from drone_yolo_tpu.utils import DEFAULT_CFG_DICT, LOGGER
+
+
+class YOLO:
+    """User-facing facade over task models, trainers, validators, predictors."""
+
+    def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
+        self.overrides: dict = {}
+        self.ckpt = None
+        self.variables = None
+        self.predictor = None
+        self.model_name = str(model)
+        model = str(model).strip()
+
+        if model.endswith((".yaml", ".yml")):
+            self._new(model, task=task, verbose=verbose)
+        else:
+            self._load(model, task=task)
+
+    # -- construction -------------------------------------------------------
+    def _new(self, cfg: str, task: str | None = None, verbose: bool = False):
+        self.task = task or guess_model_task(cfg)
+        cls = TASK2MODELCLASS[self.task]
+        self.model = cls(cfg, verbose=verbose)
+        self.cfg = cfg
+        self.overrides["model"] = cfg
+        self.overrides["task"] = self.task
+        self.variables = None  # lazily initialized
+
+    def _load(self, weights: str, task: str | None = None):
+        """Load a saved checkpoint (directory with config.yaml + params, or .npz)."""
+        from drone_yolo_tpu.engine.checkpoint import load_checkpoint
+
+        self.model, self.variables, self.ckpt = load_checkpoint(weights)
+        self.task = task or self.model.task
+        self.overrides = dict(self.ckpt.get("train_args", {})) if self.ckpt else {}
+        self.overrides["model"] = weights
+        self.overrides["task"] = self.task
+        self.cfg = weights
+
+    def ensure_variables(self, imgsz: int = 640, seed: int = 0):
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(seed), imgsz=imgsz)
+        return self.variables
+
+    @property
+    def names(self):
+        return self.model.names
+
+    @property
+    def stride(self):
+        return self.model.stride
+
+    # -- modes ---------------------------------------------------------------
+    def predict(self, source=None, stream: bool = False, **kwargs):
+        from drone_yolo_tpu.engine.predictor import DetectionPredictor
+        from drone_yolo_tpu.models.yolo import TASK_MAP
+
+        custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
+        args = {**self.overrides, **custom, **kwargs}
+        pred_cls = TASK_MAP[self.task].get("predictor", DetectionPredictor)
+        if self.predictor is None or self.predictor.__class__ is not pred_cls:
+            self.predictor = pred_cls(overrides=args)
+            self.predictor.setup_model(self)
+        else:
+            self.predictor.args = get_cfg(self.predictor.args, kwargs)
+        return self.predictor(source=source, stream=stream)
+
+    def __call__(self, source=None, stream: bool = False, **kwargs):
+        return self.predict(source, stream, **kwargs)
+
+    def track(self, source=None, stream: bool = False, persist: bool = False, **kwargs):
+        from drone_yolo_tpu.trackers.track import register_tracker
+
+        if not hasattr(self, "_tracker_registered"):
+            register_tracker(self, persist)
+            self._tracker_registered = True
+        kwargs["conf"] = kwargs.get("conf") or 0.1
+        kwargs["mode"] = "track"
+        return self.predict(source=source, stream=stream, **kwargs)
+
+    def val(self, data=None, **kwargs):
+        from drone_yolo_tpu.models.yolo import TASK_MAP
+
+        custom = {"rect": False, "mode": "val"}
+        args = {**self.overrides, **custom, **kwargs}
+        if data is not None:
+            args["data"] = data
+        validator_cls = TASK_MAP[self.task]["validator"]
+        validator = validator_cls(args=args)
+        validator(model=self)
+        self.metrics = validator.metrics
+        return validator.metrics
+
+    def train(self, trainer=None, **kwargs):
+        from drone_yolo_tpu.models.yolo import TASK_MAP
+
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        if not overrides.get("data"):
+            raise AttributeError("dataset required: pass data=...")
+        trainer_cls = trainer or TASK_MAP[self.task]["trainer"]
+        self.trainer = trainer_cls(overrides=overrides)
+        self.trainer.model_facade = self
+        self.trainer.train()
+        # adopt best/last weights after training
+        if self.trainer.best_vars is not None:
+            self.variables = self.trainer.best_vars
+        return getattr(self.trainer, "metrics", None)
+
+    def export(self, **kwargs):
+        from drone_yolo_tpu.engine.exporter import Exporter
+
+        args = {**self.overrides, **kwargs, "mode": "export"}
+        return Exporter(overrides=args)(self)
+
+    def benchmark(self, **kwargs):
+        from drone_yolo_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model=self, **kwargs)
+
+    def fuse(self):
+        """Fold BN + RepVGG branches into plain convs (inference weight transform)."""
+        self.ensure_variables()
+        self.variables = self.model.fuse(self.variables)
+        return self
+
+    def save(self, path: str | Path):
+        from drone_yolo_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.model, self.ensure_variables(), train_args=self.overrides)
+
+    def load(self, weights):
+        from drone_yolo_tpu.engine.checkpoint import load_checkpoint
+
+        _, self.variables, self.ckpt = load_checkpoint(weights, model=self.model)
+        return self
+
+    def info(self, verbose: bool = True):
+        self.model.info(self.variables)

@@ -1,0 +1,192 @@
+"""YAML architecture dialect -> executable network graph.
+
+Parity with `ultralytics/nn/tasks.py:929-1090` (parse_model): same row grammar
+`[from, repeats, module, args]`, same depth gain `max(round(n*depth), 1)`, same
+width gain `make_divisible(min(c2, max_channels) * width, 8)`, same n/s/m/l/x
+unified-yaml scale resolution (`yaml_model_load`, tasks.py:1093-1125).
+
+TPU-native difference: the graph is *built* once in Python and *executed* inside a
+traced function — the layer loop disappears into the compiled XLA program, so the
+interpreter overhead the reference pays per forward (tasks.py:147-161) is zero.
+
+Fixes the reference snapshot's latent defect (SURVEY.md §2.3): RepVGGBlock is
+registered as a first-class width-scalable module here.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from drone_yolo_tpu.nn import modules as M
+from drone_yolo_tpu.utils import LOGGER, yaml_load
+
+MODEL_CFG_DIR = Path(__file__).resolve().parent.parent / "cfg" / "models"
+
+# Module registry: yaml name -> class. "nn.Upsample" kept for yaml compatibility.
+REGISTRY = {
+    "Conv": M.Conv,
+    "DWConv": M.DWConv,
+    "Focus": M.Focus,
+    "GhostConv": M.GhostConv,
+    "Bottleneck": M.Bottleneck,
+    "C1": M.C1,
+    "C2": M.C2,
+    "C2f": M.C2f,
+    "C3": M.C3,
+    "SPP": M.SPP,
+    "SPPF": M.SPPF,
+    "RepVGGBlock": M.RepVGGBlock,
+    "Concat": M.Concat,
+    "nn.Upsample": M.Upsample,
+    "Upsample": M.Upsample,
+    "Detect": M.Detect,
+    "Segment": M.Segment,
+    "Pose": M.Pose,
+    "OBB": M.OBB,
+    "Classify": M.Classify,
+}
+
+# Width-scalable modules taking (c1, c2, ...) — reference tasks.py:954-991
+# (base_modules), plus RepVGGBlock (the defect fix).
+BASE_MODULES = {
+    M.Conv, M.DWConv, M.Focus, M.GhostConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
+    M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
+}
+# Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3}
+HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
+
+
+def make_divisible(x, divisor: int = 8) -> int:
+    """Nearest integer divisible by divisor (reference utils/ops.py:130)."""
+    import math
+
+    return math.ceil(x / divisor) * divisor
+
+
+def guess_model_scale(model_path) -> str:
+    """Extract the n/s/m/l/x scale char from a path like yolov8s.yaml (tasks.py:1109)."""
+    m = re.search(r"yolo[v]?\d+([nslmx])", Path(model_path).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model yaml, resolving scale-suffixed names to the unified file (tasks.py:1093)."""
+    path = Path(path)
+    stem = path.stem
+    unified = re.sub(r"(\d+)([nslmx])(.+)?$", r"\1\3", stem)  # yolov8s-p2 -> yolov8-p2
+    candidates = [path]
+    if not path.exists():
+        for base in (MODEL_CFG_DIR,):
+            candidates += sorted(base.rglob(f"{stem}.yaml")) + sorted(base.rglob(f"{unified}.yaml"))
+    for c in candidates:
+        if Path(c).exists():
+            d = yaml_load(c, append_filename=True)
+            d["scale"] = guess_model_scale(stem)
+            d["yaml_file"] = str(path)
+            return d
+    raise FileNotFoundError(f"model yaml '{path}' not found (searched {MODEL_CFG_DIR})")
+
+
+class LayerSpec:
+    """One built layer: module + routing metadata (reference attaches m.i/m.f/m.type)."""
+
+    __slots__ = ("module", "i", "f", "type", "repeats")
+
+    def __init__(self, module, i, f, type_, repeats=1):
+        self.module, self.i, self.f, self.type = module, i, f, type_
+        self.repeats = repeats
+
+
+class _RepeatSeq(M.Module):
+    """n>1 non-repeat-aware modules stacked sequentially (reference: nn.Sequential)."""
+
+    def __init__(self, mods):
+        self.m = list(mods)
+
+    def __call__(self, v, x, ctx):
+        for i, mod in enumerate(self.m):
+            x = mod(v["m"][str(i)], x, ctx)
+        return x
+
+
+def parse_model(d: dict, ch: int = 3, verbose: bool = False):
+    """Parse a model dict into (layers, save_list).
+
+    Returns:
+        layers: list[LayerSpec] in execution order.
+        save: sorted list of layer indices whose outputs are needed later.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    scale = d.get("scale") or (next(iter(scales)) if scales else None)
+    depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    if scales:
+        if scale not in scales:
+            scale = next(iter(scales))
+        depth, width, max_channels = scales[scale]
+    kpt_shape = d.get("kpt_shape")
+
+    ch_list = [ch]
+    layers, save = [], []
+    for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
+        cls = REGISTRY.get(mname)
+        if cls is None:
+            raise KeyError(f"unknown module '{mname}' in model yaml (registered: {sorted(REGISTRY)})")
+        args = list(args)
+        # resolve string args: 'nc', 'None', 'nearest', numeric strings
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a == "nc":
+                    args[j] = nc
+                elif a == "kpt_shape":
+                    args[j] = kpt_shape
+                else:
+                    try:
+                        import ast
+
+                        args[j] = ast.literal_eval(a)
+                    except (ValueError, SyntaxError):
+                        pass
+
+        n_scaled = max(round(n * depth), 1) if n > 1 else n
+
+        if cls in BASE_MODULES:
+            c1, c2 = ch_list[f], args[0]
+            if c2 != nc:  # don't width-scale a Classify output layer
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if cls in REPEAT_MODULES:
+                args.insert(2, n_scaled)
+                n_scaled = 1
+        elif cls is M.Concat:
+            c2 = sum(ch_list[x] for x in f)
+        elif cls in HEAD_MODULES:
+            in_ch = [ch_list[x] for x in f]
+            if cls is M.Segment:
+                # args = [nc, nm, npr]; npr is width-scaled (tasks.py:1061)
+                if len(args) > 2:
+                    args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            kwargs = {"ch": in_ch}
+            module = cls(*args, **kwargs)
+            c2 = None
+        else:  # Upsample and other shape-preserving modules
+            c2 = ch_list[f] if isinstance(f, int) else ch_list[f[-1]]
+
+        if cls not in HEAD_MODULES:
+            if n_scaled > 1:
+                module = _RepeatSeq([cls(*args) for _ in range(n_scaled)])
+            else:
+                module = cls(*args)
+
+        spec = LayerSpec(module, i, f, mname, n_scaled)
+        layers.append(spec)
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2 if c2 is not None else (ch_list[f[0]] if isinstance(f, list) else ch_list[f]))
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>20}{n_scaled:>3}  {mname:<20}{str(args):<40}")
+
+    return layers, sorted(set(save)), nc

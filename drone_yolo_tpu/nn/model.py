@@ -1,0 +1,179 @@
+"""Task models: graph executor + init/fuse/stride-probe over the built layer list.
+
+Parity with `ultralytics/nn/tasks.py:95-681` (BaseModel/DetectionModel/...), minus
+the torch-isms: the forward here is a pure function of (variables, input) that is
+traced exactly once per shape under jit; `fuse()` is a pytree->pytree weight
+transform instead of module surgery; stride probing uses `jax.eval_shape` (zero
+FLOPs) instead of a dummy forward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drone_yolo_tpu.nn import modules as M
+from drone_yolo_tpu.nn.build import parse_model, yaml_model_load
+from drone_yolo_tpu.utils import LOGGER
+
+
+class BaseModel:
+    """Executable detection/segmentation/pose/obb/classify graph."""
+
+    task = "detect"
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"Overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.ch = ch
+        self.layers, self.save, self.nc = parse_model(self.yaml, ch=ch, verbose=verbose)
+        # dotted paths mirror torch state_dict names ("model.<i>....") for conversion
+        for spec in self.layers:
+            spec.module.set_paths(f"model.{spec.i}")
+        self.head = self.layers[-1].module
+        self.names = {i: f"class{i}" for i in range(self.nc)}
+        self.stride = np.array([32.0])
+        self._probe_strides()
+
+    # -- construction -------------------------------------------------------
+    def _probe_strides(self, imgsz: int = 256):
+        """Discover per-level strides from static output shapes (tasks.py:326-337)."""
+        head = self.head
+        if not isinstance(head, M.Detect):
+            self.stride = np.array([1.0])
+            return
+        var_shapes = jax.eval_shape(lambda k: self.init_raw(k), jax.random.PRNGKey(0))
+        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, self.ch), jnp.float32)
+
+        def fwd(v, xx):
+            out = self.apply(v, xx, train=True)
+            return out[0] if isinstance(out, tuple) else out
+
+        map_shapes = jax.eval_shape(fwd, var_shapes, x)
+        strides = [imgsz / m.shape[1] for m in map_shapes]
+        head.stride = [int(s) for s in strides]
+        self.stride = np.array(head.stride, dtype=np.float32)
+
+    def init_raw(self, key):
+        """Initialize all layer variables (no bias priors)."""
+        return {
+            str(spec.i): spec.module.init(jax.random.fold_in(key, spec.i)) for spec in self.layers
+        }
+
+    def init(self, key, imgsz: int = 640):
+        """Initialize variables with detection bias priors applied (head.py:133)."""
+        v = self.init_raw(key)
+        if isinstance(self.head, M.Detect):
+            v[str(self.layers[-1].i)] = self.head.bias_init_vars(v[str(self.layers[-1].i)], imgsz=imgsz)
+        return v
+
+    # -- execution ----------------------------------------------------------
+    def apply(self, variables, x, train: bool = False, ctx: M.Ctx | None = None):
+        """Run the graph. Returns the head output (train: raw maps; eval: decoded).
+
+        The per-layer Python loop runs at *trace* time only; the compiled program
+        is a flat XLA graph (contrast reference tasks.py:147-161 which interprets
+        the layer list every forward).
+        """
+        ctx = ctx or M.Ctx(train=train)
+        y: list = []
+        out = x
+        for spec in self.layers:
+            f = spec.f
+            if f == -1:
+                xin = out
+            elif isinstance(f, int):
+                xin = y[f]
+            else:
+                xin = [out if j == -1 else y[j] for j in f]
+            out = spec.module(variables[str(spec.i)], xin, ctx)
+            y.append(out if spec.i in self.save else None)
+        return out
+
+    def __call__(self, variables, x, train: bool = False, ctx: M.Ctx | None = None):
+        return self.apply(variables, x, train=train, ctx=ctx)
+
+    # -- transforms ---------------------------------------------------------
+    def fuse(self, variables):
+        """Fold BN into convs and collapse RepVGG branches (pure weight transform).
+
+        Reference equivalents: BaseModel.fuse (tasks.py:210-230) and
+        RepVGGBlock.switch_to_deploy (block.py:1421).
+        """
+        return {str(spec.i): spec.module.fuse_vars(variables[str(spec.i)]) for spec in self.layers}
+
+    def merge_bn_updates(self, variables, updates: dict, momentum: float = M.BN_MOMENTUM):
+        """Fold collected batch statistics into running stats: new = (1-m)*old + m*batch.
+
+        `updates` maps dotted BN paths ("model.0.bn") to (batch_mean, batch_var)
+        as collected by Ctx during a train-mode forward.
+        """
+
+        def walk(node, prefix):
+            if not isinstance(node, dict):
+                return node
+            if prefix in updates and "mean" in node and "var" in node:
+                bm, bv = updates[prefix]
+                n = {**node}
+                n["mean"] = (1 - momentum) * node["mean"] + momentum * bm
+                n["var"] = (1 - momentum) * node["var"] + momentum * bv
+                return n
+            return {k: walk(val, f"{prefix}.{k}" if prefix else k) for k, val in node.items()}
+
+        return {i: walk(v, f"model.{i}") for i, v in variables.items()}
+
+    def param_count(self, variables) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables))
+
+    def info(self, variables=None):
+        n = self.param_count(variables) if variables is not None else -1
+        LOGGER.info(f"{self.__class__.__name__}: {len(self.layers)} layers, {n:,} parameters, task={self.task}")
+
+
+class DetectionModel(BaseModel):
+    task = "detect"
+
+
+class SegmentationModel(DetectionModel):
+    task = "segment"
+
+
+class PoseModel(DetectionModel):
+    task = "pose"
+
+    def __init__(self, cfg="yolov8n-pose.yaml", ch=3, nc=None, data_kpt_shape=(None, None), verbose=False):
+        if isinstance(cfg, (str,)):
+            cfg = yaml_model_load(cfg)
+        if any(data_kpt_shape) and list(data_kpt_shape) != list(cfg.get("kpt_shape", [])):
+            cfg["kpt_shape"] = list(data_kpt_shape)
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+
+class OBBModel(DetectionModel):
+    task = "obb"
+
+
+class ClassificationModel(BaseModel):
+    task = "classify"
+
+
+TASK2MODELCLASS = {
+    "detect": DetectionModel,
+    "segment": SegmentationModel,
+    "pose": PoseModel,
+    "obb": OBBModel,
+    "classify": ClassificationModel,
+}
+
+
+def guess_model_task(cfg) -> str:
+    """Infer task from a model yaml (reference tasks.py:1127 guess_model_task)."""
+    d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+    head_name = d["head"][-1][2].lower()
+    for task, key in (("classify", "classify"), ("segment", "segment"), ("pose", "pose"), ("obb", "obb")):
+        if key in head_name:
+            return task
+    return "detect"

@@ -1,0 +1,741 @@
+"""TPU-native NN module zoo (NHWC, functional pytrees, bf16 MXU compute).
+
+Capability parity with `ultralytics/nn/modules/{conv,block,head}.py` — but NOT a
+port. Differences that make this TPU-first:
+
+* **Functional**: each module is a static config object; parameters live in a
+  nested-dict pytree (`init(key) -> vars`, `__call__(vars, x, ctx) -> y`). The whole
+  network traces once under `jax.jit`; there is no per-call Python layer loop at
+  runtime.
+* **NHWC layout** with HWIO kernels — the layout XLA:TPU tiles best onto the MXU.
+* **Mixed precision by construction**: activations flow in `ctx.dtype` (bfloat16 by
+  default), convs accumulate in fp32 (`preferred_element_type`), BN/statistics in
+  fp32. No GradScaler — bf16 has fp32's exponent range.
+* **BatchNorm under SPMD**: stats are computed with `jnp.mean` over the *global*
+  batch; under a sharded-data mesh XLA inserts the cross-replica reduction, giving
+  synced BN for free (the torch DDP reference uses per-GPU stats).
+* **Deploy-time fusion is a weight transform**: `fuse_vars` folds BN into conv
+  kernels and collapses RepVGG branches *before* jit, so the compiled inference
+  graph only ever sees single convs (reference does this with module surgery,
+  `block.py:1421` switch_to_deploy).
+
+Reference file:line pointers are cited per class for the parity audit.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-3  # reference: initialize_weights sets BatchNorm2d eps=1e-3 (torch_utils.py)
+BN_MOMENTUM = 0.03  # reference: momentum=0.03
+
+
+# ---------------------------------------------------------------------------
+# Trace context
+# ---------------------------------------------------------------------------
+@dataclass
+class Ctx:
+    """Per-trace context threaded through module calls.
+
+    `updates` collects (path -> (batch_mean, batch_var)) from BatchNorms in train
+    mode; the train step folds them into the running stats (EMA) after the
+    gradient step. This keeps `__call__` single-return while staying functional.
+    """
+
+    train: bool = False
+    dtype: Any = jnp.bfloat16
+    updates: dict = field(default_factory=dict)
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'same' padding (reference conv.py:28)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+def _child_key(key, name: str):
+    """Deterministic per-child PRNG key (stable across processes)."""
+    return jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class Module:
+    """Minimal functional module: static config + pytree params.
+
+    Children are discovered by scanning instance attributes for Module instances
+    (or lists of them); `init` composes child params under matching dict keys, and
+    `set_paths` assigns dotted paths used by BN-stat collection and checkpoint
+    naming (layout mirrors the torch state_dict naming for easy conversion).
+    """
+
+    path: str = ""
+
+    def children(self):
+        out = {}
+        for name, val in vars(self).items():
+            if isinstance(val, Module):
+                out[name] = val
+            elif isinstance(val, (list, tuple)) and val and all(isinstance(m, Module) for m in val):
+                out[name] = list(val)
+        return out
+
+    def set_paths(self, prefix: str = ""):
+        self.path = prefix
+        for name, child in self.children().items():
+            if isinstance(child, list):
+                for i, m in enumerate(child):
+                    m.set_paths(f"{prefix}.{name}.{i}" if prefix else f"{name}.{i}")
+            else:
+                child.set_paths(f"{prefix}.{name}" if prefix else name)
+
+    def init(self, key):
+        """Default init: compose children. Leaves override."""
+        v = {}
+        for name, child in self.children().items():
+            if isinstance(child, list):
+                v[name] = {str(i): m.init(_child_key(key, f"{name}.{i}")) for i, m in enumerate(child)}
+            else:
+                v[name] = child.init(_child_key(key, name))
+        return v
+
+    def fuse_vars(self, v):
+        """Default fusion: recurse into children. Leaves override."""
+        out = dict(v)
+        for name, child in self.children().items():
+            if name not in v:
+                continue
+            if isinstance(child, list):
+                out[name] = {str(i): m.fuse_vars(v[name][str(i)]) for i, m in enumerate(child)}
+            else:
+                out[name] = child.fuse_vars(v[name])
+        return out
+
+    def __call__(self, v, x, ctx: Ctx):
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1, out_dtype=None):
+    """NHWC conv with HWIO kernel, fp32 MXU accumulation."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(s, s),
+        padding=((p, p), (p, p)),
+        rhs_dilation=(d, d),
+        feature_group_count=g,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y if out_dtype is None else y.astype(out_dtype)
+
+
+def max_pool2d(x, k: int, s: int = 1, p: int = 0):
+    """NHWC max pool with torch-style symmetric padding."""
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    """Torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), ...)."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _bn_init(c):
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def _bn_apply(bn, x, ctx: Ctx, path: str):
+    """BatchNorm over NHW in fp32. Train mode taps batch stats into ctx.updates."""
+    xf = x.astype(jnp.float32)
+    if ctx.train:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        ctx.updates[path] = (mean, var)
+    else:
+        mean = jax.lax.stop_gradient(bn["mean"])
+        var = jax.lax.stop_gradient(bn["var"])
+    inv = jax.lax.rsqrt(var + BN_EPS) * bn["scale"]
+    return ((xf - mean) * inv + bn["bias"]).astype(ctx.dtype)
+
+
+def _bn_fold(bn, w):
+    """Fold BN into a conv: returns (w_scaled, bias). w is HWIO."""
+    inv = bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)
+    return w * inv[None, None, None, :], bn["bias"] - bn["mean"] * inv
+
+
+# ---------------------------------------------------------------------------
+# Conv family
+# ---------------------------------------------------------------------------
+class Conv2dRaw(Module):
+    """Bare conv (optional bias), the torch nn.Conv2d analog for head output layers."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, bias=True):
+        self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
+        self.p = autopad(k, p, d)
+        self.bias = bias
+
+    def init(self, key):
+        fan_in = self.c1 // self.g * self.k * self.k
+        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c1 // self.g, self.c2), fan_in)}
+        if self.bias:
+            v["bias"] = _kaiming_uniform(_child_key(key, "b"), (self.c2,), fan_in)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = conv2d(x.astype(ctx.dtype), v["kernel"], self.s, self.p, self.d, self.g)
+        if "bias" in v:
+            y = y + v["bias"]
+        return y.astype(ctx.dtype)
+
+
+class Conv(Module):
+    """Conv2d + BN + SiLU (reference conv.py:37). Fused form: conv + bias + SiLU."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act=True):
+        self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
+        self.p = autopad(k, p, d)
+        self.act = act
+
+    def init(self, key):
+        fan_in = self.c1 // self.g * self.k * self.k
+        return {
+            "conv": {"kernel": _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)},
+            "bn": _bn_init(self.c2),
+        }
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        if "bn" in v:
+            y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
+            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        else:
+            y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
+            y = (y + v["conv"]["bias"]).astype(ctx.dtype)
+        return silu(y) if self.act is True else y
+
+    def fuse_vars(self, v):
+        if "bn" not in v:
+            return v
+        w, b = _bn_fold(v["bn"], v["conv"]["kernel"])
+        return {"conv": {"kernel": w, "bias": b}}
+
+
+class DWConv(Conv):
+    """Depth-wise conv (reference conv.py:102): groups = gcd(c1, c2)."""
+
+    def __init__(self, c1, c2, k=1, s=1, d=1, act=True):
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), d=d, act=act)
+
+
+class Focus(Module):
+    """Space-to-depth stem (reference conv.py:139): concat 4 pixel phases then conv."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, act=True):
+        self.conv = Conv(c1 * 4, c2, k, s, p, g, act=act)
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1
+        )
+        return self.conv(v["conv"], x, ctx)
+
+
+class GhostConv(Module):
+    """Ghost convolution (reference conv.py:158): primary conv + cheap DW expansion."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+        c_ = c2 // 2
+        self.cv1 = Conv(c1, c_, k, s, None, g, act=act)
+        self.cv2 = Conv(c_, c_, 5, 1, None, c_, act=act)
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv1(v["cv1"], x, ctx)
+        return jnp.concatenate([y, self.cv2(v["cv2"], y, ctx)], axis=-1)
+
+
+class Concat(Module):
+    """Concat along channels (reference conv.py:323). NHWC: torch dim 1 -> axis -1."""
+
+    def __init__(self, dim=1):
+        self.dim = -1 if dim == 1 else dim
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, xs, ctx: Ctx):
+        return jnp.concatenate(xs, axis=self.dim)
+
+
+class Upsample(Module):
+    """Nearest-neighbor upsample (torch nn.Upsample(None, 2, 'nearest') analog)."""
+
+    def __init__(self, size=None, scale_factor=2, mode="nearest"):
+        assert mode == "nearest", f"unsupported upsample mode {mode}"
+        self.scale = int(scale_factor)
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, x, ctx: Ctx):
+        s = self.scale
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+        return x.reshape(b, h * s, w * s, c)
+
+
+# ---------------------------------------------------------------------------
+# CSP blocks
+# ---------------------------------------------------------------------------
+class Bottleneck(Module):
+    """Standard bottleneck (reference block.py:337)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, k[0], 1)
+        self.cv2 = Conv(c_, c2, k[1], 1, g=g)
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv2(v["cv2"], self.cv1(v["cv1"], x, ctx), ctx)
+        return x + y if self.add else y
+
+
+class C2f(Module):
+    """Fast CSP bottleneck with 2 convs — the v8 workhorse (reference block.py:230)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv((2 + n) * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = list(jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1))
+        for i, m in enumerate(self.m):
+            y.append(m(v["m"][str(i)], y[-1], ctx))
+        return self.cv2(v["cv2"], jnp.concatenate(y, axis=-1), ctx)
+
+
+class C2(Module):
+    """CSP bottleneck with 2 convs (reference block.py:211)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv(2 * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        a, b = jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1)
+        for i, m in enumerate(self.m):
+            a = m(v["m"][str(i)], a, ctx)
+        return self.cv2(v["cv2"], jnp.concatenate([a, b], axis=-1), ctx)
+
+
+class C1(Module):
+    """CSP bottleneck with 1 conv (reference block.py:194)."""
+
+    def __init__(self, c1, c2, n=1):
+        self.cv1 = Conv(c1, c2, 1, 1)
+        self.m = [Conv(c2, c2, 3) for _ in range(n)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv1(v["cv1"], x, ctx)
+        z = y
+        for i, m in enumerate(self.m):
+            z = m(v["m"][str(i)], z, ctx)
+        return z + y
+
+
+class C3(Module):
+    """CSP bottleneck with 3 convs (reference block.py:252)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c1, c_, 1, 1)
+        self.cv3 = Conv(2 * c_, c2, 1)
+        self.m = [Bottleneck(c_, c_, shortcut, g, k=(1, 3), e=1.0) for _ in range(n)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        a = self.cv1(v["cv1"], x, ctx)
+        for i, m in enumerate(self.m):
+            a = m(v["m"][str(i)], a, ctx)
+        b = self.cv2(v["cv2"], x, ctx)
+        return self.cv3(v["cv3"], jnp.concatenate([a, b], axis=-1), ctx)
+
+
+class SPPF(Module):
+    """Spatial pyramid pooling - fast (reference block.py:172)."""
+
+    def __init__(self, c1, c2, k=5):
+        c_ = c1 // 2
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c_ * 4, c2, 1, 1)
+        self.k = k
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = [self.cv1(v["cv1"], x, ctx)]
+        for _ in range(3):
+            y.append(max_pool2d(y[-1], self.k, 1, self.k // 2))
+        return self.cv2(v["cv2"], jnp.concatenate(y, axis=-1), ctx)
+
+
+class SPP(Module):
+    """Spatial pyramid pooling (reference block.py:155)."""
+
+    def __init__(self, c1, c2, k=(5, 9, 13)):
+        c_ = c1 // 2
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c_ * (len(k) + 1), c2, 1, 1)
+        self.k = k
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = self.cv1(v["cv1"], x, ctx)
+        ys = [x] + [max_pool2d(x, k, 1, k // 2) for k in self.k]
+        return self.cv2(v["cv2"], jnp.concatenate(ys, axis=-1), ctx)
+
+
+# ---------------------------------------------------------------------------
+# RepVGG (the Drone-YOLO backbone downsampler) — reference block.py:1393-1492
+# ---------------------------------------------------------------------------
+class RepVGGBlock(Module):
+    """Structural-reparameterization block: train 3x3+1x1+identity, deploy one 3x3.
+
+    Registered as a first-class width-scalable module in the graph builder (fixing
+    the reference snapshot's missing-import defect, SURVEY.md §2.3). Fusion
+    (`fuse_vars`) is a pure weight transform applied before jit, mirroring
+    `get_equivalent_kernel_bias` (reference block.py:1440): fold each branch's BN,
+    zero-pad the 1x1 kernel to 3x3, express identity-BN as a centered-delta kernel,
+    then sum kernels and biases.
+    """
+
+    def __init__(self, c1, c2, k=3, s=1, p=1, d=1, g=1, deploy=False, use_se=False):
+        assert k == 3 and p == 1, "RepVGGBlock supports k=3, p=1"
+        assert not use_se, "SE variant not used by the drone yamls"
+        self.c1, self.c2, self.s, self.g = c1, c2, s, g
+        self.has_identity = (c2 == c1) and (s == 1)
+
+    def init(self, key):
+        fan3 = self.c1 // self.g * 9
+        fan1 = self.c1 // self.g
+        v = {
+            "dense": {
+                "conv": {"kernel": _kaiming_uniform(_child_key(key, "d"), (3, 3, self.c1 // self.g, self.c2), fan3)},
+                "bn": _bn_init(self.c2),
+            },
+            "one": {
+                "conv": {"kernel": _kaiming_uniform(_child_key(key, "o"), (1, 1, self.c1 // self.g, self.c2), fan1)},
+                "bn": _bn_init(self.c2),
+            },
+        }
+        if self.has_identity:
+            v["idbn"] = _bn_init(self.c1)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        if "kernel" in v:  # fused deploy form
+            y = conv2d(x, v["kernel"], self.s, 1, 1, self.g) + v["bias"]
+            return silu(y.astype(ctx.dtype))
+        y3 = _bn_apply(v["dense"]["bn"], conv2d(x, v["dense"]["conv"]["kernel"], self.s, 1, 1, self.g), ctx, f"{self.path}.dense.bn")
+        y1 = _bn_apply(v["one"]["bn"], conv2d(x, v["one"]["conv"]["kernel"], self.s, 0, 1, self.g), ctx, f"{self.path}.one.bn")
+        y = y3 + y1
+        if self.has_identity:
+            y = y + _bn_apply(v["idbn"], x, ctx, f"{self.path}.idbn")
+        return silu(y)
+
+    def fuse_vars(self, v):
+        if "kernel" in v:
+            return v
+        w3, b3 = _bn_fold(v["dense"]["bn"], v["dense"]["conv"]["kernel"])
+        w1, b1 = _bn_fold(v["one"]["bn"], v["one"]["conv"]["kernel"])
+        w1 = jnp.pad(w1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        w, b = w3 + w1, b3 + b1
+        if self.has_identity:
+            cin = self.c1 // self.g
+            ident = np.zeros((3, 3, cin, self.c2), np.float32)
+            for i in range(self.c2):
+                ident[1, 1, i % cin, i] = 1.0
+            wid, bid = _bn_fold(v["idbn"], jnp.asarray(ident))
+            w, b = w + wid, b + bid
+        return {"kernel": w, "bias": b}
+
+
+# ---------------------------------------------------------------------------
+# Heads — reference head.py:21-305
+# ---------------------------------------------------------------------------
+def dfl_expectation(box_logits, reg_max: int = 16):
+    """Distribution Focal Loss expectation decode (reference block.py:58 DFL).
+
+    box_logits: (..., 4 * reg_max) -> (..., 4) expected distances. A softmax +
+    arange dot instead of the reference's frozen-conv trick — same math, and XLA
+    fuses it into the surrounding elementwise stream.
+    """
+    shape = box_logits.shape[:-1]
+    x = box_logits.reshape(*shape, 4, reg_max).astype(jnp.float32)
+    p = jax.nn.softmax(x, axis=-1)
+    return jnp.einsum("...r,r->...", p, jnp.arange(reg_max, dtype=jnp.float32))
+
+
+class Detect(Module):
+    """Anchor-free decoupled detection head (reference head.py:21).
+
+    Per level: box branch cv2 -> 4*reg_max DFL logits, cls branch cv3 -> nc logits.
+    Train output: list of per-level (B, H, W, 4*reg_max + nc) maps.
+    Eval output adds decoded (B, A, 4 + nc): DFL expectation -> dist2bbox around
+    grid anchors -> x stride, sigmoid class scores. Anchors are trace-time
+    constants (static shapes), not runtime tensors.
+    """
+
+    def __init__(self, nc=80, ch=(), legacy=True, reg_max=16):
+        self.nc = nc
+        self.nl = len(ch)
+        self.reg_max = reg_max
+        self.no = nc + reg_max * 4
+        self.stride = [8, 16, 32] if self.nl == 3 else [4, 8, 16, 32][: self.nl]  # overwritten at build
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.cv2 = [
+            _Seq(Conv(x, c2, 3), Conv(c2, c2, 3), Conv2dRaw(c2, 4 * reg_max, 1)) for x in ch
+        ]
+        if legacy:
+            self.cv3 = [_Seq(Conv(x, c3, 3), Conv(c3, c3, 3), Conv2dRaw(c3, nc, 1)) for x in ch]
+        else:
+            self.cv3 = [
+                _Seq(DWConv(x, x, 3), Conv(x, c3, 1), DWConv(c3, c3, 3), Conv(c3, c3, 1), Conv2dRaw(c3, nc, 1))
+                for x in ch
+            ]
+
+    def bias_init_vars(self, v, imgsz: int = 640):
+        """Prior-prob bias init (reference head.py:133): requires strides set."""
+        v = jax.tree_util.tree_map(lambda x: x, v)  # shallow copy
+        for i, s in enumerate(self.stride):
+            box_last = v["cv2"][str(i)]["m"][str(len(self.cv2[i].ms) - 1)]
+            box_last["bias"] = jnp.ones_like(box_last["bias"])
+            cls_last = v["cv3"][str(i)]["m"][str(len(self.cv3[i].ms) - 1)]
+            cls_last["bias"] = jnp.full_like(cls_last["bias"], math.log(5 / self.nc / (imgsz / s) ** 2))
+        return v
+
+    def raw_maps(self, v, xs, ctx: Ctx):
+        """Per-level (B, H, W, 4*reg_max + nc) prediction maps."""
+        out = []
+        for i, x in enumerate(xs):
+            box = self.cv2[i](v["cv2"][str(i)], x, ctx)
+            cls = self.cv3[i](v["cv3"][str(i)], x, ctx)
+            out.append(jnp.concatenate([box, cls], axis=-1))
+        return out
+
+    def decode(self, maps):
+        """maps -> (B, A, 4 + nc) with xywh pixel boxes and sigmoid scores."""
+        from drone_yolo_tpu.ops.anchors import dist2bbox, make_anchors
+
+        b = maps[0].shape[0]
+        feat_shapes = [(m.shape[1], m.shape[2]) for m in maps]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        flat = jnp.concatenate([m.reshape(b, -1, self.no) for m in maps], axis=1)
+        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        dist = dfl_expectation(box_logits, self.reg_max)
+        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=True) * jnp.asarray(strides)[None]
+        return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)
+
+    def __call__(self, v, xs, ctx: Ctx):
+        maps = self.raw_maps(v, xs, ctx)
+        if ctx.train:
+            return maps
+        return self.decode(maps), maps
+
+
+class _Seq(Module):
+    """Sequential container with numbered children under key 'm'."""
+
+    def __init__(self, *ms):
+        self.m = list(ms)
+
+    @property
+    def ms(self):
+        return self.m
+
+    def __call__(self, v, x, ctx: Ctx):
+        for i, mod in enumerate(self.m):
+            x = mod(v["m"][str(i)], x, ctx)
+        return x
+
+
+class Proto(Module):
+    """Segmentation mask prototypes (reference block.py:80)."""
+
+    def __init__(self, c1, c_=256, c2=32):
+        self.cv1 = Conv(c1, c_, k=3)
+        self.cv2 = Conv(c_, c_, k=3)
+        self.cv3 = Conv(c_, c2)
+        self.c_ = c_
+
+    def init(self, key):
+        v = super().init(key)
+        # ConvTranspose2d(c_, c_, 2, 2) with bias (upsample conv)
+        fan_in = self.c_ * 4
+        v["up"] = {
+            "kernel": _kaiming_uniform(_child_key(key, "up"), (2, 2, self.c_, self.c_), fan_in),
+            "bias": _kaiming_uniform(_child_key(key, "upb"), (self.c_,), fan_in),
+        }
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv1(v["cv1"], x, ctx)
+        y = jax.lax.conv_transpose(
+            y.astype(ctx.dtype),
+            v["up"]["kernel"].astype(ctx.dtype),
+            strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + v["up"]["bias"].astype(ctx.dtype)
+        y = self.cv2(v["cv2"], y, ctx)
+        return self.cv3(v["cv3"], y, ctx)
+
+
+class Segment(Detect):
+    """Segmentation head (reference head.py:175): Detect + proto masks + coeffs."""
+
+    def __init__(self, nc=80, nm=32, npr=256, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.nm, self.npr = nm, npr
+        self.proto = Proto(ch[0], npr, nm)
+        c4 = max(ch[0] // 4, nm)
+        self.cv4 = [_Seq(Conv(x, c4, 3), Conv(c4, c4, 3), Conv2dRaw(c4, nm, 1)) for x in ch]
+
+    def __call__(self, v, xs, ctx: Ctx):
+        protos = self.proto(v["proto"], xs[0], ctx)  # (B, H/4*2, W/4*2, nm) at P3-based scale
+        b = xs[0].shape[0]
+        mc = jnp.concatenate(
+            [self.cv4[i](v["cv4"][str(i)], x, ctx).reshape(b, -1, self.nm) for i, x in enumerate(xs)], axis=1
+        )
+        maps = self.raw_maps(v, xs, ctx)
+        if ctx.train:
+            return maps, mc, protos
+        preds = self.decode(maps)
+        return jnp.concatenate([preds, mc], axis=-1), (maps, mc, protos)
+
+
+class Pose(Detect):
+    """Pose head (reference head.py:230): Detect + keypoint regression branch."""
+
+    def __init__(self, nc=80, kpt_shape=(17, 3), ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.kpt_shape = tuple(kpt_shape)
+        self.nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(ch[0] // 4, self.nk)
+        self.cv4 = [_Seq(Conv(x, c4, 3), Conv(c4, c4, 3), Conv2dRaw(c4, self.nk, 1)) for x in ch]
+
+    def kpts_decode(self, kpts, feat_shapes):
+        """Decode keypoints to pixel space (reference head.py:271)."""
+        from drone_yolo_tpu.ops.anchors import make_anchors
+
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        anchors, strides = jnp.asarray(anchors), jnp.asarray(strides)
+        b, a, _ = kpts.shape
+        y = kpts.reshape(b, a, *self.kpt_shape).astype(jnp.float32)
+        xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * strides[None, :, None, :]
+        if self.kpt_shape[1] == 3:
+            conf = jax.nn.sigmoid(y[..., 2:3])
+            y = jnp.concatenate([xy, conf], axis=-1)
+        else:
+            y = xy
+        return y.reshape(b, a, self.nk)
+
+    def __call__(self, v, xs, ctx: Ctx):
+        b = xs[0].shape[0]
+        kpt = jnp.concatenate(
+            [self.cv4[i](v["cv4"][str(i)], x, ctx).reshape(b, -1, self.nk) for i, x in enumerate(xs)], axis=1
+        )
+        maps = self.raw_maps(v, xs, ctx)
+        if ctx.train:
+            return maps, kpt
+        preds = self.decode(maps)
+        feat_shapes = [(m.shape[1], m.shape[2]) for m in maps]
+        pkpt = self.kpts_decode(kpt, feat_shapes)
+        return jnp.concatenate([preds, pkpt], axis=-1), (maps, kpt)
+
+
+class OBB(Detect):
+    """Oriented bounding box head (reference head.py:200): Detect + angle branch."""
+
+    def __init__(self, nc=80, ne=1, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.ne = ne
+        c4 = max(ch[0] // 4, ne)
+        self.cv4 = [_Seq(Conv(x, c4, 3), Conv(c4, c4, 3), Conv2dRaw(c4, ne, 1)) for x in ch]
+
+    def __call__(self, v, xs, ctx: Ctx):
+        b = xs[0].shape[0]
+        angle = jnp.concatenate(
+            [self.cv4[i](v["cv4"][str(i)], x, ctx).reshape(b, -1, self.ne) for i, x in enumerate(xs)], axis=1
+        )
+        angle = (jax.nn.sigmoid(angle.astype(jnp.float32)) - 0.25) * math.pi  # [-pi/4, 3pi/4)
+        maps = self.raw_maps(v, xs, ctx)
+        if ctx.train:
+            return maps, angle
+        # decode with rotation-aware dist2rbox
+        from drone_yolo_tpu.ops.anchors import dist2rbox, make_anchors
+
+        feat_shapes = [(m.shape[1], m.shape[2]) for m in maps]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        flat = jnp.concatenate([m.reshape(b, -1, self.no) for m in maps], axis=1)
+        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        dist = dfl_expectation(box_logits, self.reg_max)
+        rbox = dist2rbox(dist, angle, jnp.asarray(anchors)[None]) * jnp.asarray(strides)[None]
+        preds = jnp.concatenate([rbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32)), angle], axis=-1)
+        return preds, (maps, angle)
+
+
+class Classify(Module):
+    """Classification head (reference head.py:282): conv -> GAP -> dropout -> linear."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1):
+        c_ = 1280
+        self.conv = Conv(c1, c_, k, s, p, g)
+        self.c_, self.c2 = c_, c2
+
+    def init(self, key):
+        v = super().init(key)
+        v["linear"] = {
+            "kernel": _kaiming_uniform(_child_key(key, "lw"), (self.c_, self.c2), self.c_),
+            "bias": jnp.zeros((self.c2,), jnp.float32),
+        }
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, axis=-1)
+        y = self.conv(v["conv"], x, ctx)
+        y = jnp.mean(y.astype(jnp.float32), axis=(1, 2))  # global average pool
+        y = y @ v["linear"]["kernel"] + v["linear"]["bias"]
+        return y if ctx.train else jax.nn.softmax(y, axis=-1)

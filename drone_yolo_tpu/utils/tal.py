@@ -1,0 +1,108 @@
+"""Task-Aligned assigner as dense, static-shape JAX math.
+
+Capability parity with `ultralytics/utils/tal.py:14-295` (TaskAlignedAssigner):
+anchor<->GT assignment by metric score^alpha * CIoU^beta, top-k candidates inside
+GT boxes, conflict resolution by max-IoU.
+
+TPU re-design notes (SURVEY.md §7 "hard parts"):
+* GT boxes are padded to a static `max_boxes` M; validity rides a mask. All the
+  reference's boolean fancy-indexing becomes `where`-masked dense tensors of shape
+  (B, M, A) — embarrassingly parallel on the VPU, no host sync, no CUDA-OOM CPU
+  fallback needed (the reference's tal.py:73-80 escape hatch).
+* The top-k mask is built by thresholding against the k-th largest metric per GT
+  instead of scatter-from-indices: a (B, M, A) one-hot scatter would materialize
+  B*M*k*A elements; the threshold trick is O(B*M*A) and matches greedy top-k
+  except for exact float ties (measure-zero).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from drone_yolo_tpu.ops.boxes import bbox_iou
+
+
+def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
+    """(A, 2) anchor centers inside (B, M, 4) xyxy GT boxes -> (B, M, A) bool."""
+    lt = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, :2]  # (B,M,A,2)
+    rb = gt_bboxes[:, :, None, 2:] - xy_centers[None, None, :, :]
+    return jnp.min(jnp.concatenate([lt, rb], axis=-1), axis=-1) > eps
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def assign(
+    pd_scores,  # (B, A, nc) sigmoid class scores
+    pd_bboxes,  # (B, A, 4) xyxy, same units as gt_bboxes
+    anc_points,  # (A, 2), same units as gt_bboxes
+    gt_labels,  # (B, M) int32 class ids (padded)
+    gt_bboxes,  # (B, M, 4) xyxy (padded)
+    mask_gt,  # (B, M) bool/0-1 validity of each padded GT slot
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Returns (target_labels (B,A), target_bboxes (B,A,4), target_scores (B,A,nc),
+    fg_mask (B,A) bool, target_gt_idx (B,A))."""
+    b, a, nc = pd_scores.shape
+    m = gt_bboxes.shape[1]
+    mask_gt = mask_gt.astype(bool).reshape(b, m)
+
+    # ---- alignment metric over all (gt, anchor) pairs ----------------------
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
+    # class score of each anchor at each GT's class: gather along class dim
+    gl = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)  # (B, M)
+    scores_t = jnp.swapaxes(pd_scores, 1, 2)  # (B, nc, A)
+    bov = jnp.take_along_axis(scores_t, gl[:, :, None], axis=1)  # (B, M, A)
+    overlaps = jnp.clip(
+        bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0, None
+    )  # (B, M, A)
+    valid = mask_in_gts & mask_gt[:, :, None]
+    align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
+
+    # ---- top-k candidates per GT (threshold against k-th largest) ----------
+    kth = jax.lax.top_k(align, topk)[0][..., -1:]  # (B, M, 1)
+    mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
+    mask_pos = mask_topk & valid  # (B, M, A)
+
+    # ---- conflict resolution: anchor claimed by several GTs -> max overlap --
+    fg_mask = jnp.any(mask_pos, axis=1)  # (B, A)
+    ov_masked = jnp.where(mask_pos, overlaps, -1.0)
+    target_gt_idx = jnp.argmax(ov_masked, axis=1)  # (B, A)
+    # rebuild the deduplicated positive mask for metric normalization
+    onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=align.dtype)  # (B, M, A)
+    mask_pos = (onehot_gt > 0) & fg_mask[:, None, :] & mask_pos
+
+    # ---- targets ------------------------------------------------------------
+    target_labels = jnp.take_along_axis(gl, target_gt_idx, axis=1)  # (B, A)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[:, :, None], axis=1)  # (B, A, 4)
+
+    # normalized alignment scores (reference tal.py:118-127)
+    align_pos = jnp.where(mask_pos, align, 0.0)
+    pos_align_max = jnp.max(align_pos, axis=-1, keepdims=True)  # (B, M, 1)
+    pos_overlap_max = jnp.max(jnp.where(mask_pos, overlaps, 0.0), axis=-1, keepdims=True)
+    norm_align = align_pos * pos_overlap_max / (pos_align_max + eps)  # (B, M, A)
+    norm_metric = jnp.max(norm_align, axis=1)  # (B, A)
+
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
+    target_scores = target_scores * (fg_mask[..., None] * norm_metric[..., None])
+    return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
+
+
+class TaskAlignedAssigner:
+    """Thin object wrapper matching the reference class shape (tal.py:14)."""
+
+    def __init__(self, topk=10, num_classes=80, alpha=0.5, beta=6.0, eps=1e-9):
+        self.topk, self.num_classes = topk, num_classes
+        self.alpha, self.beta, self.eps = alpha, beta, eps
+
+    def __call__(self, pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
+        return assign(
+            pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
+            topk=self.topk, num_classes=self.num_classes, alpha=self.alpha, beta=self.beta,
+            eps=self.eps,
+        )

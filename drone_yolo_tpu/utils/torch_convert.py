@@ -1,0 +1,117 @@
+"""Convert torch (reference ultralytics) state_dicts to this framework's pytrees.
+
+Pure numpy: consumes a `{name: np.ndarray}` dict (call `.numpy()` on torch tensors
+first or pass a torch state_dict — tensors are detected duck-typed). Layout
+transforms: torch conv OIHW -> JAX HWIO; ConvTranspose IOHW -> HWIO; Linear (o,i)
+-> (i,o). Naming: walks OUR module tree and derives the matching torch name per
+module class, so it also serves as living documentation of the name mapping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from drone_yolo_tpu.nn import modules as M
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        return t
+    if hasattr(t, "detach"):
+        return t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def _conv_w(t):
+    return np.transpose(_np(t), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _bn(sd, p):
+    return {
+        "scale": _np(sd[f"{p}.weight"]),
+        "bias": _np(sd[f"{p}.bias"]),
+        "mean": _np(sd[f"{p}.running_mean"]),
+        "var": _np(sd[f"{p}.running_var"]),
+    }
+
+
+def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
+    """Convert one module subtree rooted at torch name `prefix`."""
+    if isinstance(mod, M.Conv):  # Conv+BN(+act), incl. DWConv
+        return {"conv": {"kernel": _conv_w(sd[f"{prefix}.conv.weight"])}, "bn": _bn(sd, f"{prefix}.bn")}
+
+    if isinstance(mod, M.Conv2dRaw):
+        v = {"kernel": _conv_w(sd[f"{prefix}.weight"])}
+        if mod.bias:
+            v["bias"] = _np(sd[f"{prefix}.bias"])
+        return v
+
+    if isinstance(mod, M.RepVGGBlock):
+        v = {
+            "dense": {"conv": {"kernel": _conv_w(sd[f"{prefix}.rbr_dense.conv.weight"])}, "bn": _bn(sd, f"{prefix}.rbr_dense.bn")},
+            "one": {"conv": {"kernel": _conv_w(sd[f"{prefix}.rbr_1x1.conv.weight"])}, "bn": _bn(sd, f"{prefix}.rbr_1x1.bn")},
+        }
+        if mod.has_identity:
+            v["idbn"] = _bn(sd, f"{prefix}.rbr_identity")
+        return v
+
+    if isinstance(mod, M._Seq):
+        # torch side is nn.Sequential: children live directly at prefix.{j}
+        return {"m": {str(j): convert_module(child, sd, f"{prefix}.{j}") for j, child in enumerate(mod.m)}}
+
+    if isinstance(mod, M.Proto):
+        return {
+            "cv1": convert_module(mod.cv1, sd, f"{prefix}.cv1"),
+            "cv2": convert_module(mod.cv2, sd, f"{prefix}.cv2"),
+            "cv3": convert_module(mod.cv3, sd, f"{prefix}.cv3"),
+            # ConvTranspose2d weight is (in, out, kh, kw) in torch -> HWIO
+            "up": {
+                "kernel": np.transpose(_np(sd[f"{prefix}.upsample.weight"]), (2, 3, 0, 1)),
+                "bias": _np(sd[f"{prefix}.upsample.bias"]),
+            },
+        }
+
+    if isinstance(mod, M.Classify):
+        return {
+            "conv": convert_module(mod.conv, sd, f"{prefix}.conv"),
+            "linear": {
+                "kernel": _np(sd[f"{prefix}.linear.weight"]).T,
+                "bias": _np(sd[f"{prefix}.linear.bias"]),
+            },
+        }
+
+    # Generic composite (C2f, Bottleneck, SPPF, Detect, Segment, Pose, OBB, Focus,
+    # GhostConv, _RepeatSeq, ...): recurse children under matching names. Detect's
+    # frozen DFL conv (arange weights) is rebuilt analytically, not loaded.
+    v = {}
+    for name, child in mod.children().items():
+        if isinstance(child, list):
+            v[name] = {str(i): convert_module(c, sd, f"{prefix}.{name}.{i}") for i, c in enumerate(child)}
+        else:
+            v[name] = convert_module(child, sd, f"{prefix}.{name}")
+    return v
+
+
+def convert_state_dict(model, sd: dict) -> dict:
+    """Convert a full reference state_dict to this framework's variables tree.
+
+    `model` is a drone_yolo_tpu BaseModel; torch names follow "model.{i}. ..."
+    (reference DetectionModel wraps layers in an nn.Sequential called `model`).
+    """
+    sd = {k.removeprefix("model.model.").removeprefix("model."): v for k, v in sd.items()}
+    sd = {f"model.{k}" if not k.startswith("model.") else k: v for k, v in sd.items()}
+    out = {}
+    for spec in model.layers:
+        out[str(spec.i)] = convert_module(spec.module, sd, f"model.{spec.i}")
+    return out
+
+
+def load_torch_checkpoint(path, model):
+    """Load a reference .pt checkpoint file and convert (requires torch; EMA-first
+    semantics like the reference: `trainer.py:524` saves EMA as the model)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    net = ckpt.get("ema") or ckpt.get("model") or ckpt
+    sd = net.state_dict() if hasattr(net, "state_dict") else net
+    return convert_state_dict(model, {k: _np(v) for k, v in sd.items()})
