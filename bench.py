@@ -1,0 +1,74 @@
+"""Benchmark: batched 640px YOLOv8s inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured img/s divided by the reference A100 TensorRT rate for
+v8s (1.20 ms/img -> 833.3 img/s, docs/en/models/yolov8.md:45); the north-star
+target is vs_baseline >= 2.0 (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_TRT_V8S_IMGS_PER_S = 1000.0 / 1.20  # 833.3
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.nn import modules as M
+    from drone_yolo_tpu.nn.model import DetectionModel
+    from drone_yolo_tpu.ops.nms import non_max_suppression
+
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
+    model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    model = DetectionModel(model_name)
+    variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
+
+    @jax.jit
+    def fn(variables, x):
+        preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
+        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=1024)
+
+    x = jnp.asarray(np.random.default_rng(0).random((batch, imgsz, imgsz, 3), np.float32))
+    variables = jax.device_put(variables)
+
+    # warmup + compile; completion is forced with a host fetch because
+    # block_until_ready is unreliable on the tunneled axon platform
+    dets, n = fn(variables, x)
+    _ = np.asarray(n)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets, n = fn(variables, x)
+    _ = np.asarray(n)  # device queue is in-order: fetching the last result bounds all
+    dt = time.perf_counter() - t0
+
+    imgs_per_s = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"v8s_{imgsz}px_batch{batch}_infer_throughput",
+                "value": round(imgs_per_s, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(imgs_per_s / A100_TRT_V8S_IMGS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,402 @@
+"""Host-side augmentation pipeline: mosaic, affine, HSV, flips, letterbox, mixup.
+
+Capability parity with `ultralytics/data/augment.py` (Mosaic:490, MixUp:867,
+RandomPerspective:952, RandomHSV:1303, RandomFlip:1392, LetterBox:1486,
+CopyPaste:1643, Format:1935, v8_transforms:2287). numpy/cv2 on the host — the
+TPU consumes fixed-shape, pre-padded batches; all raggedness dies here.
+
+Sample dict convention (differs from the reference's Instances object — plain
+arrays are cheaper to collate): img HWC uint8 RGB; cls (N,); bboxes (N, 4) pixel
+xyxy; optional segments (list of (K, 2)); optional keypoints (N, K, 3) pixel.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from drone_yolo_tpu.ops.letterbox import letterbox_np
+from drone_yolo_tpu.utils import LOGGER
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, labels):
+        for t in self.transforms:
+            labels = t(labels)
+        return labels
+
+    def append(self, t):
+        self.transforms.append(t)
+
+    def insert(self, i, t):
+        self.transforms.insert(i, t)
+
+    def __repr__(self):
+        return f"Compose({', '.join(t.__class__.__name__ for t in self.transforms)})"
+
+
+class Mosaic:
+    """4-image mosaic (reference augment.py:490/_mosaic4): 2x2 grid on a 2s canvas
+    around a jittered center, boxes shifted into canvas coords."""
+
+    def __init__(self, dataset, imgsz: int = 640, p: float = 1.0, n: int = 4):
+        assert n == 4, "only 4-mosaic supported"
+        self.dataset = dataset
+        self.imgsz = imgsz
+        self.p = p
+        self.border = (-imgsz // 2, -imgsz // 2)
+
+    def __call__(self, labels):
+        if random.random() > self.p:
+            return labels
+        s = self.imgsz
+        yc = int(random.uniform(s // 2, 2 * s - s // 2))
+        xc = int(random.uniform(s // 2, 2 * s - s // 2))
+        indices = [random.randint(0, len(self.dataset) - 1) for _ in range(3)]
+        mix = [labels] + [self.dataset.get_sample(i) for i in indices]
+
+        canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        cls_all, box_all, seg_all, kpt_all = [], [], [], []
+        for i, lb in enumerate(mix):
+            img = lb["img"]
+            h, w = img.shape[:2]
+            if i == 0:  # top-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top-right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom-right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            if len(lb["bboxes"]):
+                b = lb["bboxes"] + np.array([padw, padh, padw, padh], np.float32)
+                box_all.append(b)
+                cls_all.append(lb["cls"])
+                if lb.get("keypoints") is not None:
+                    k = lb["keypoints"].copy()
+                    k[..., 0] += padw
+                    k[..., 1] += padh
+                    kpt_all.append(k)
+            for seg in lb.get("segments", []) or []:
+                seg_all.append(seg + np.array([padw, padh], np.float32))
+
+        out = {
+            "img": canvas,
+            "cls": np.concatenate(cls_all) if cls_all else np.zeros((0,), np.float32),
+            "bboxes": np.concatenate(box_all) if box_all else np.zeros((0, 4), np.float32),
+            "mosaic_border": self.border,
+            "im_file": labels.get("im_file", ""),
+            "ori_shape": labels.get("ori_shape", canvas.shape[:2]),
+        }
+        if seg_all:
+            out["segments"] = seg_all
+        if kpt_all:
+            out["keypoints"] = np.concatenate(kpt_all)
+        clip_sample(out, (s * 2, s * 2))
+        return out
+
+
+class MixUp:
+    """Beta(32, 32) image blend (reference augment.py:867)."""
+
+    def __init__(self, dataset, pre_transform=None, p: float = 0.0):
+        self.dataset = dataset
+        self.pre_transform = pre_transform
+        self.p = p
+
+    def __call__(self, labels):
+        if random.random() > self.p:
+            return labels
+        other = self.dataset.get_sample(random.randint(0, len(self.dataset) - 1))
+        if self.pre_transform is not None:
+            other = self.pre_transform(other)
+        if other["img"].shape != labels["img"].shape:
+            return labels
+        r = np.random.beta(32.0, 32.0)
+        labels["img"] = (labels["img"] * r + other["img"] * (1 - r)).astype(np.uint8)
+        labels["cls"] = np.concatenate([labels["cls"], other["cls"]])
+        labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]])
+        if labels.get("keypoints") is not None and other.get("keypoints") is not None:
+            labels["keypoints"] = np.concatenate([labels["keypoints"], other["keypoints"]])
+        return labels
+
+
+class CopyPaste:
+    """Flip-mode segment copy-paste (reference augment.py:1643). Requires segments."""
+
+    def __init__(self, p: float = 0.0):
+        self.p = p
+
+    def __call__(self, labels):
+        segs = labels.get("segments")
+        if self.p == 0 or not segs or random.random() > self.p:
+            return labels
+        import cv2
+
+        img = labels["img"]
+        h, w = img.shape[:2]
+        n = len(segs)
+        boxes = labels["bboxes"]
+        # flip instances horizontally and paste where IoA with existing boxes is low
+        flipped = boxes.copy()
+        flipped[:, [0, 2]] = w - boxes[:, [2, 0]]
+        ioa = _bbox_ioa(flipped, boxes)
+        candidates = np.nonzero((ioa < 0.30).all(1))[0]
+        new_cls, new_box, new_seg = [], [], []
+        for j in random.sample(list(candidates), k=round(self.p * len(candidates))):
+            seg = segs[j].copy()
+            seg[:, 0] = w - seg[:, 0]
+            mask = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(mask, [seg.astype(np.int32)], 1)
+            img[mask.astype(bool)] = img[:, ::-1][mask.astype(bool)]
+            new_cls.append(labels["cls"][j])
+            new_box.append(flipped[j])
+            new_seg.append(seg)
+        if new_box:
+            labels["cls"] = np.concatenate([labels["cls"], np.asarray(new_cls)])
+            labels["bboxes"] = np.concatenate([labels["bboxes"], np.stack(new_box)])
+            labels["segments"] = segs + new_seg
+        return labels
+
+
+class RandomPerspective:
+    """Affine/perspective warp of image + boxes/segments/keypoints
+    (reference augment.py:952). Consumes `mosaic_border` to crop the 2s canvas
+    back to s, and filters degenerate boxes."""
+
+    def __init__(self, degrees=0.0, translate=0.1, scale=0.5, shear=0.0, perspective=0.0, border=(0, 0), pre_transform=None):
+        self.degrees, self.translate, self.scale = degrees, translate, scale
+        self.shear, self.perspective = shear, perspective
+        self.border = border
+        self.pre_transform = pre_transform
+
+    def __call__(self, labels):
+        import cv2
+
+        if self.pre_transform is not None and "mosaic_border" not in labels:
+            labels = self.pre_transform(labels)
+        border = labels.pop("mosaic_border", self.border)
+        img = labels["img"]
+        h, w = img.shape[:2]
+        out_h, out_w = h + border[0] * 2, w + border[1] * 2
+
+        # transform matrix (center -> perspective -> rotation/scale -> shear -> translate)
+        C = np.eye(3)
+        C[0, 2], C[1, 2] = -w / 2, -h / 2
+        P = np.eye(3)
+        P[2, 0] = random.uniform(-self.perspective, self.perspective)
+        P[2, 1] = random.uniform(-self.perspective, self.perspective)
+        R = np.eye(3)
+        a = random.uniform(-self.degrees, self.degrees)
+        s = random.uniform(1 - self.scale, 1 + self.scale)
+        R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+        S = np.eye(3)
+        S[0, 1] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
+        S[1, 0] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
+        T = np.eye(3)
+        T[0, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_w
+        T[1, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_h
+        Mt = T @ S @ R @ P @ C
+
+        if (border[0] != 0) or (border[1] != 0) or (Mt != np.eye(3)).any():
+            if self.perspective:
+                img = cv2.warpPerspective(img, Mt, dsize=(out_w, out_h), borderValue=(114, 114, 114))
+            else:
+                img = cv2.warpAffine(img, Mt[:2], dsize=(out_w, out_h), borderValue=(114, 114, 114))
+
+        boxes = labels["bboxes"]
+        n = len(boxes)
+        new_boxes = np.zeros((0, 4), np.float32)
+        keep = np.zeros((0,), bool)
+        if n:
+            pts = np.ones((n * 4, 3), np.float32)
+            pts[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(n * 4, 2)
+            pts = pts @ Mt.T
+            pts = (pts[:, :2] / pts[:, 2:3] if self.perspective else pts[:, :2]).reshape(n, 8)
+            xs, ys = pts[:, [0, 2, 4, 6]], pts[:, [1, 3, 5, 7]]
+            new_boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1).astype(np.float32)
+            new_boxes[:, [0, 2]] = new_boxes[:, [0, 2]].clip(0, out_w)
+            new_boxes[:, [1, 3]] = new_boxes[:, [1, 3]].clip(0, out_h)
+            keep = _box_candidates(boxes.T * s, new_boxes.T, area_thr=0.10)
+
+        labels["img"] = img
+        labels["bboxes"] = new_boxes[keep]
+        labels["cls"] = labels["cls"][keep] if n else labels["cls"]
+        if labels.get("keypoints") is not None and n:
+            k = labels["keypoints"][keep]
+            if len(k):
+                kp = np.ones((k.shape[0] * k.shape[1], 3), np.float32)
+                kp[:, :2] = k[..., :2].reshape(-1, 2)
+                kp = kp @ Mt.T
+                kp = kp[:, :2] / kp[:, 2:3] if self.perspective else kp[:, :2]
+                vis = k[..., 2].reshape(-1)
+                oob = (kp[:, 0] < 0) | (kp[:, 0] > out_w) | (kp[:, 1] < 0) | (kp[:, 1] > out_h)
+                vis = np.where(oob, 0.0, vis)
+                labels["keypoints"] = np.concatenate([kp, vis[:, None]], -1).reshape(k.shape[0], k.shape[1], 3)
+            else:
+                labels["keypoints"] = k
+        labels.pop("segments", None)  # segments are warped into boxes for detect; seg task re-derives
+        return labels
+
+
+def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+    """Filter degenerate warped boxes (reference augment.py:1280 box_candidates)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def _bbox_ioa(box1, box2, eps=1e-7):
+    """Intersection over box2 area (reference utils/metrics.py bbox_ioa)."""
+    a1, a2 = box1[:, None, :2], box1[:, None, 2:]
+    b1, b2 = box2[None, :, :2], box2[None, :, 2:]
+    inter = np.clip(np.minimum(a2, b2) - np.maximum(a1, b1), 0, None).prod(-1)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1])
+    return inter / (area2[None] + eps)
+
+
+class RandomHSV:
+    """HSV jitter (reference augment.py:1303)."""
+
+    def __init__(self, hgain=0.5, sgain=0.5, vgain=0.5):
+        self.hgain, self.sgain, self.vgain = hgain, sgain, vgain
+
+    def __call__(self, labels):
+        import cv2
+
+        if not (self.hgain or self.sgain or self.vgain):
+            return labels
+        img = labels["img"]
+        r = np.random.uniform(-1, 1, 3) * [self.hgain, self.sgain, self.vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_h = ((x * r[0]) % 180).astype(img.dtype)
+        lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
+        lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
+        hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v)))
+        labels["img"] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        return labels
+
+
+class RandomFlip:
+    """Horizontal/vertical flip with keypoint index remap (reference augment.py:1392)."""
+
+    def __init__(self, p=0.5, direction="horizontal", flip_idx=None):
+        assert direction in {"horizontal", "vertical"}
+        self.p, self.direction, self.flip_idx = p, direction, flip_idx
+
+    def __call__(self, labels):
+        if random.random() >= self.p:
+            return labels
+        img = labels["img"]
+        h, w = img.shape[:2]
+        boxes = labels["bboxes"]
+        if self.direction == "horizontal":
+            labels["img"] = np.ascontiguousarray(img[:, ::-1])
+            if len(boxes):
+                boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+            if labels.get("keypoints") is not None:
+                k = labels["keypoints"]
+                k[..., 0] = w - k[..., 0]
+                if self.flip_idx is not None and len(k):
+                    k = k[:, np.asarray(self.flip_idx, int)]
+                labels["keypoints"] = np.ascontiguousarray(k)
+        else:
+            labels["img"] = np.ascontiguousarray(img[::-1])
+            if len(boxes):
+                boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+            if labels.get("keypoints") is not None:
+                labels["keypoints"][..., 1] = h - labels["keypoints"][..., 1]
+        labels["bboxes"] = boxes
+        return labels
+
+
+class LetterBoxT:
+    """LetterBox as a pipeline transform, updating boxes (reference augment.py:1486)."""
+
+    def __init__(self, new_shape=(640, 640), scaleup=True, center=True):
+        self.new_shape = new_shape if isinstance(new_shape, (tuple, list)) else (new_shape, new_shape)
+        self.scaleup = scaleup
+        self.center = center
+
+    def __call__(self, labels):
+        img, r, (dw, dh) = letterbox_np(labels["img"], self.new_shape, center=self.center, scaleup=self.scaleup)
+        labels["img"] = img
+        if len(labels["bboxes"]):
+            b = labels["bboxes"] * r
+            b[:, [0, 2]] += dw
+            b[:, [1, 3]] += dh
+            labels["bboxes"] = b
+        if labels.get("keypoints") is not None:
+            k = labels["keypoints"]
+            k[..., 0] = k[..., 0] * r + dw
+            k[..., 1] = k[..., 1] * r + dh
+        if labels.get("segments"):
+            labels["segments"] = [s * r + np.array([dw, dh], np.float32) for s in labels["segments"]]
+        labels["ratio_pad"] = (r, (dw, dh))
+        return labels
+
+
+class BGRChannel:
+    """RGB<->BGR swap with probability p (reference `bgr` hyp)."""
+
+    def __init__(self, p=0.0):
+        self.p = p
+
+    def __call__(self, labels):
+        if random.random() < self.p:
+            labels["img"] = np.ascontiguousarray(labels["img"][..., ::-1])
+        return labels
+
+
+def clip_sample(labels, shape):
+    """Clip boxes/keypoints to (h, w) and drop empty boxes."""
+    h, w = shape
+    b = labels["bboxes"]
+    if len(b):
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+        keep = (b[:, 2] - b[:, 0] > 1e-3) & (b[:, 3] - b[:, 1] > 1e-3)
+        labels["bboxes"] = b[keep]
+        labels["cls"] = labels["cls"][keep]
+        if labels.get("keypoints") is not None:
+            labels["keypoints"] = labels["keypoints"][keep]
+    return labels
+
+
+def v8_transforms(dataset, imgsz: int, hyp, stretch: bool = False):
+    """Training transform pipeline factory (reference augment.py:2287)."""
+    mosaic = Mosaic(dataset, imgsz=imgsz, p=hyp.mosaic)
+    affine = RandomPerspective(
+        degrees=hyp.degrees,
+        translate=hyp.translate,
+        scale=hyp.scale,
+        shear=hyp.shear,
+        perspective=hyp.perspective,
+        pre_transform=None if stretch else LetterBoxT((imgsz, imgsz)),
+    )
+    flip_idx = getattr(dataset, "flip_idx", None)
+    return Compose(
+        [
+            mosaic,
+            CopyPaste(p=hyp.copy_paste),
+            affine,
+            MixUp(dataset, pre_transform=Compose([mosaic, CopyPaste(p=hyp.copy_paste), affine]), p=hyp.mixup),
+            RandomHSV(hgain=hyp.hsv_h, sgain=hyp.hsv_s, vgain=hyp.hsv_v),
+            BGRChannel(p=getattr(hyp, "bgr", 0.0)),
+            RandomFlip(p=hyp.flipud, direction="vertical"),
+            RandomFlip(p=hyp.fliplr, direction="horizontal", flip_idx=flip_idx),
+        ]
+    )

@@ -1,0 +1,122 @@
+"""Dataloader: background-threaded, prefetching, device-feeding.
+
+Capability parity with `ultralytics/data/build.py:62-186` (InfiniteDataLoader,
+seed_worker, build_dataloader, build_yolo_dataset). TPU re-design: instead of
+torch worker *processes* + pin_memory, a thread pool assembles padded numpy
+batches and a prefetch queue keeps `prefetch` batches ready; `device_put` overlap
+happens in the train loop. Per-host sharding for multi-process SPMD replaces
+DistributedSampler: each process owns a contiguous stripe of every epoch's
+permutation (same seed -> identical permutations on all hosts).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+
+import numpy as np
+
+from drone_yolo_tpu.data.dataset import ClassificationDataset, YOLODataset
+from drone_yolo_tpu.utils import LOGGER
+
+
+def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train", stride: int = 32, max_labels=None):
+    """Construct a YOLODataset from a merged config (reference build.py:96)."""
+    return YOLODataset(
+        img_path=img_path,
+        imgsz=cfg.imgsz,
+        cache=cfg.cache in (True, "ram"),
+        augment=mode == "train",
+        hyp=cfg,
+        prefix=f"{mode}: ",
+        batch_size=batch,
+        stride=stride,
+        single_cls=cfg.single_cls,
+        classes=cfg.classes,
+        fraction=cfg.fraction if mode == "train" else 1.0,
+        data=data,
+        task=getattr(cfg, "task", "detect"),
+        max_labels=max_labels,
+    )
+
+
+class DataLoader:
+    """Epoch-based loader with shuffling, threaded workers, and prefetch."""
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = True, workers: int = 2, seed: int = 0, drop_last: bool = True, prefetch: int = 2, process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+        n_local = len(dataset) // process_count if process_count > 1 else len(dataset)
+        self.nb = n_local // batch_size if drop_last else math.ceil(n_local / batch_size)
+
+    def __len__(self):
+        return self.nb
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.process_count > 1:
+            # contiguous per-host stripe of the shared permutation
+            per = n // self.process_count
+            idx = idx[self.process_index * per : (self.process_index + 1) * per]
+        return idx
+
+    def __iter__(self):
+        idx = self._indices()
+        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(self.nb)]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for binds in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[int(i)] for i in binds]
+                    q.put(self.dataset.collate(samples))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 - propagate to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+
+
+def build_dataloader(dataset, batch: int, workers: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True, process_index: int = 0, process_count: int = 1):
+    """Reference build.py:139 analog."""
+    return DataLoader(
+        dataset,
+        batch_size=batch,
+        shuffle=shuffle,
+        workers=workers,
+        seed=seed,
+        drop_last=drop_last,
+        process_index=process_index,
+        process_count=process_count,
+    )

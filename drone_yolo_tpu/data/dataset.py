@@ -1,0 +1,317 @@
+"""YOLO-format datasets with hashed label caches and padded static-shape batches.
+
+Capability parity with `ultralytics/data/base.py:21` (BaseDataset) and
+`ultralytics/data/dataset.py:45` (YOLODataset: cache_labels, build_transforms,
+close_mosaic, collate) plus ClassificationDataset (:389).
+
+TPU re-design: collate pads labels to a static `max_labels` per batch — the
+device never sees ragged shapes, so train steps compile once. Image caching uses
+an in-RAM dict (optional); everything here is host numpy.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+
+from drone_yolo_tpu.data.augment import Compose, LetterBoxT, v8_transforms
+from drone_yolo_tpu.data.utils import IMG_FORMATS, get_hash, img2label_paths, verify_image_label
+from drone_yolo_tpu.utils import LOGGER, NUM_THREADS, TQDM, colorstr
+
+DATASET_CACHE_VERSION = "1.0"
+
+
+class YOLODataset:
+    """Detection/segment/pose dataset over YOLO-txt labels."""
+
+    def __init__(
+        self,
+        img_path,
+        imgsz: int = 640,
+        cache: bool = False,
+        augment: bool = True,
+        hyp=None,
+        prefix: str = "",
+        batch_size: int = 16,
+        stride: int = 32,
+        pad: float = 0.5,
+        single_cls: bool = False,
+        classes=None,
+        fraction: float = 1.0,
+        data: dict | None = None,
+        task: str = "detect",
+        max_labels: int | None = None,
+    ):
+        self.img_path = img_path
+        self.imgsz = imgsz
+        self.augment = augment
+        self.single_cls = single_cls
+        self.prefix = prefix
+        self.fraction = fraction
+        self.data = data or {}
+        self.task = task
+        self.use_segments = task == "segment"
+        self.use_keypoints = task == "pose"
+        self.kpt_shape = self.data.get("kpt_shape", (0, 0))
+        self.flip_idx = self.data.get("flip_idx", None)
+        self.im_files = self.get_img_files(img_path)
+        self.label_files = img2label_paths(self.im_files)
+        self.labels = self.cache_labels()
+        self.update_labels(classes)
+        self.ni = len(self.labels)
+        self.batch_size = batch_size
+        self.stride = stride
+        self.hyp = hyp
+        self.cache = cache
+        self._ram: dict = {}
+        # static label padding: longest label list, with headroom for mosaic(x4)+mixup
+        n_max = max((len(l["cls"]) for l in self.labels), default=1)
+        self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * 5, 1))))), 2048)
+        self.transforms = self.build_transforms(hyp)
+
+    # -- files & labels -------------------------------------------------------
+    def get_img_files(self, img_path):
+        """Glob image files from dir / txt-list / list (reference base.py:118)."""
+        f = []
+        for p in img_path if isinstance(img_path, list) else [img_path]:
+            p = Path(p)
+            if p.is_dir():
+                f += glob.glob(str(p / "**" / "*.*"), recursive=True)
+            elif p.is_file():
+                with open(p, encoding="utf-8") as t:
+                    parent = str(p.parent) + os.sep
+                    f += [x.replace("./", parent) if x.startswith("./") else x for x in t.read().strip().splitlines()]
+            else:
+                raise FileNotFoundError(f"{self.prefix}{p} does not exist")
+        im_files = sorted(x for x in f if x.split(".")[-1].lower() in IMG_FORMATS)
+        assert im_files, f"{self.prefix}No images found in {img_path}"
+        if self.fraction < 1:
+            im_files = im_files[: round(len(im_files) * self.fraction)]
+        return im_files
+
+    def cache_labels(self):
+        """Verify labels, caching to an .npz next to the labels dir (reference dataset.py:66)."""
+        cache_path = Path(self.label_files[0]).parent.with_suffix(".cache.npz") if self.label_files else None
+        h = get_hash(self.label_files + self.im_files)
+        if cache_path and cache_path.exists():
+            try:
+                z = np.load(cache_path, allow_pickle=True)
+                if str(z["version"]) == DATASET_CACHE_VERSION and str(z["hash"]) == h:
+                    return list(z["labels"])
+            except Exception:  # noqa: BLE001 - fall through to re-verify
+                pass
+
+        nkpt, ndim = (self.kpt_shape or (0, 0))
+        labels = []
+        nm = nf = ne = nc_bad = 0
+        msgs = []
+        desc = f"{self.prefix}Scanning {Path(self.img_path if isinstance(self.img_path, str) else self.img_path[0]).parent}..."
+        for im_file, lb_file in TQDM(zip(self.im_files, self.label_files), desc=desc, total=len(self.im_files)):
+            im, lb, shape, segs, kpts, nm_, nf_, ne_, nc_, msg = verify_image_label(
+                im_file, lb_file, self.data.get("nc", 999), self.use_keypoints, nkpt, ndim, self.single_cls
+            )
+            nm, nf, ne, nc_bad = nm + nm_, nf + nf_, ne + ne_, nc_bad + nc_
+            if msg:
+                msgs.append(msg)
+            if im is None:
+                continue
+            labels.append(
+                {
+                    "im_file": im,
+                    "shape": shape,
+                    "cls": lb[:, 0],
+                    "bboxes_n": lb[:, 1:],  # normalized xywh
+                    "segments": segs,
+                    "keypoints": kpts,
+                }
+            )
+        if msgs:
+            LOGGER.info("\n".join(msgs[:10]))
+        if nf == 0:
+            LOGGER.warning(f"{self.prefix}no labels found; training will not work correctly")
+        LOGGER.info(f"{self.prefix}{nf} labels, {nm} missing, {ne} empty, {nc_bad} corrupt")
+        if cache_path:
+            try:
+                np.savez(cache_path, labels=np.array(labels, dtype=object), hash=h, version=DATASET_CACHE_VERSION)
+            except OSError as e:
+                LOGGER.warning(f"{self.prefix}cache not saved: {e}")
+        self.im_files = [l["im_file"] for l in labels]
+        return labels
+
+    def update_labels(self, classes):
+        """Filter to included classes / single-class (reference base.py:141)."""
+        if classes is not None:
+            inc = np.asarray(classes).reshape(1, -1)
+            for l in self.labels:
+                keep = (l["cls"].reshape(-1, 1) == inc).any(1)
+                l["cls"] = l["cls"][keep]
+                l["bboxes_n"] = l["bboxes_n"][keep]
+                if l["keypoints"] is not None:
+                    l["keypoints"] = l["keypoints"][keep]
+        if self.single_cls:
+            for l in self.labels:
+                l["cls"][:] = 0
+
+    # -- sample access ---------------------------------------------------------
+    def load_image(self, i):
+        """Read image i (RGB HWC uint8), resized so long side == imgsz (reference base.py:161)."""
+        if i in self._ram:
+            return self._ram[i]
+        import cv2
+
+        path = self.labels[i]["im_file"]
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(f"Image not found {path}")
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            im = cv2.resize(im, (min(math.ceil(w0 * r), self.imgsz), min(math.ceil(h0 * r), self.imgsz)), interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
+        if self.cache:
+            self._ram[i] = im
+        return im
+
+    def get_sample(self, i):
+        """Raw sample dict with pixel-xyxy boxes (pre-transform)."""
+        lb = self.labels[i]
+        img = self.load_image(i)
+        h, w = img.shape[:2]
+        bn = lb["bboxes_n"]
+        boxes = np.zeros((0, 4), np.float32)
+        if len(bn):
+            cx, cy, bw, bh = bn[:, 0] * w, bn[:, 1] * h, bn[:, 2] * w, bn[:, 3] * h
+            boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1).astype(np.float32)
+        out = {
+            "img": img,
+            "cls": lb["cls"].astype(np.float32).copy(),
+            "bboxes": boxes,
+            "im_file": lb["im_file"],
+            "ori_shape": lb["shape"],
+        }
+        if lb["segments"]:
+            out["segments"] = [s * np.array([w, h], np.float32) for s in lb["segments"]]
+        if lb["keypoints"] is not None:
+            k = lb["keypoints"].copy()
+            k[..., 0] *= w
+            k[..., 1] *= h
+            out["keypoints"] = k.astype(np.float32)
+        return out
+
+    def __len__(self):
+        return self.ni
+
+    def __getitem__(self, i):
+        return self.transforms(self.get_sample(i))
+
+    # -- transforms -------------------------------------------------------------
+    def build_transforms(self, hyp=None):
+        """Train: v8_transforms; val: LetterBox only (reference dataset.py:174)."""
+        if self.augment and hyp is not None:
+            t = v8_transforms(self, self.imgsz, hyp)
+        else:
+            t = Compose([LetterBoxT((self.imgsz, self.imgsz), scaleup=False)])
+        return t
+
+    def close_mosaic(self, hyp):
+        """Disable mosaic/mixup/copy-paste for final epochs (reference dataset.py:197)."""
+        if hyp is not None:
+            hyp.mosaic = 0.0
+            hyp.mixup = 0.0
+            hyp.copy_paste = 0.0
+        self.transforms = self.build_transforms(hyp)
+
+    # -- batching ----------------------------------------------------------------
+    def collate(self, samples):
+        """Stack images + pad labels to (B, max_labels) static shapes."""
+        b = len(samples)
+        imgs = np.stack([s["img"] for s in samples])
+        m = self.max_labels
+        cls = np.zeros((b, m), np.float32)
+        boxes = np.zeros((b, m, 4), np.float32)
+        mask = np.zeros((b, m), np.float32)
+        kpts = None
+        if self.use_keypoints:
+            nk = self.kpt_shape[0]
+            kpts = np.zeros((b, m, nk, 3), np.float32)
+        for i, s in enumerate(samples):
+            n = min(len(s["cls"]), m)
+            if n:
+                cls[i, :n] = s["cls"][:n]
+                boxes[i, :n] = s["bboxes"][:n]
+                mask[i, :n] = 1.0
+                if kpts is not None and s.get("keypoints") is not None:
+                    kpts[i, :n] = s["keypoints"][:n]
+        batch = {
+            "img": imgs,
+            "cls": cls,
+            "bboxes": boxes,
+            "mask": mask,
+            "im_files": [s.get("im_file", "") for s in samples],
+            "ori_shapes": [s.get("ori_shape", s["img"].shape[:2]) for s in samples],
+            "ratio_pads": [s.get("ratio_pad") for s in samples],
+        }
+        if kpts is not None:
+            batch["keypoints"] = kpts
+        return batch
+
+
+class ClassificationDataset:
+    """torchvision-ImageFolder-style classification dataset (reference dataset.py:389)."""
+
+    def __init__(self, root, imgsz: int = 224, augment: bool = False, fraction: float = 1.0, hyp=None):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = []
+        for c in classes:
+            for f in sorted((self.root / c).rglob("*.*")):
+                if f.suffix[1:].lower() in IMG_FORMATS:
+                    self.samples.append((str(f), self.class_to_idx[c]))
+        if fraction < 1.0:
+            self.samples = self.samples[: round(len(self.samples) * fraction)]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        import cv2
+
+        path, label = self.samples[i]
+        im = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        if self.augment:
+            # RandomResizedCrop-style: random scale/ratio crop then resize
+            h, w = im.shape[:2]
+            area = h * w
+            for _ in range(10):
+                ta = area * random.uniform(0.5, 1.0)
+                ar = math.exp(random.uniform(math.log(3 / 4), math.log(4 / 3)))
+                cw, ch = int(round(math.sqrt(ta * ar))), int(round(math.sqrt(ta / ar)))
+                if cw <= w and ch <= h:
+                    x0, y0 = random.randint(0, w - cw), random.randint(0, h - ch)
+                    im = im[y0 : y0 + ch, x0 : x0 + cw]
+                    break
+            im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+            if random.random() < 0.5:
+                im = np.ascontiguousarray(im[:, ::-1])
+        else:
+            h, w = im.shape[:2]
+            r = self.imgsz / min(h, w)
+            im = cv2.resize(im, (round(w * r), round(h * r)), interpolation=cv2.INTER_LINEAR)
+            top, left = (im.shape[0] - self.imgsz) // 2, (im.shape[1] - self.imgsz) // 2
+            im = im[top : top + self.imgsz, left : left + self.imgsz]
+        return {"img": im, "cls": label}
+
+    def collate(self, samples):
+        return {
+            "img": np.stack([s["img"] for s in samples]),
+            "cls": np.asarray([s["cls"] for s in samples], np.int32),
+        }

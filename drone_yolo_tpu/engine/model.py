@@ -69,12 +69,11 @@ class YOLO:
 
     # -- modes ---------------------------------------------------------------
     def predict(self, source=None, stream: bool = False, **kwargs):
-        from drone_yolo_tpu.engine.predictor import DetectionPredictor
         from drone_yolo_tpu.models.yolo import TASK_MAP
 
         custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
         args = {**self.overrides, **custom, **kwargs}
-        pred_cls = TASK_MAP[self.task].get("predictor", DetectionPredictor)
+        pred_cls = TASK_MAP[self.task]["predictor"]
         if self.predictor is None or self.predictor.__class__ is not pred_cls:
             self.predictor = pred_cls(overrides=args)
             self.predictor.setup_model(self)

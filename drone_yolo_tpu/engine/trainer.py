@@ -1,0 +1,387 @@
+"""Trainer: SPMD data-parallel training loop over a device mesh.
+
+Capability parity with `ultralytics/engine/trainer.py:59-825` (BaseTrainer):
+warmup lr/momentum interpolation, nbs-based gradient accumulation, global-norm
+clipping, EMA, close-mosaic, per-epoch validation + fitness/best tracking, CSV
+metrics, checkpointing with EMA-first resume semantics, early stopping.
+
+TPU re-design (vs the reference's DDP machinery, SURVEY.md §2.8):
+* ONE jitted train step contains forward, loss, backward, grad-accumulation,
+  clipping, optimizer, EMA, and BN-stat merge — XLA fuses the lot; the gradient
+  all-reduce over the "data" mesh axis is inserted by the SPMD partitioner. No
+  launcher subprocess, no NCCL process group, no loss x world_size scaling.
+* Scalars that change per batch (lr, momentum) enter as device scalars, so the
+  warmup schedule never recompiles anything.
+* bf16 activations by default (no GradScaler — bf16 keeps fp32's exponent).
+* State lives in one donated pytree: params, momentum, EMA, accum grads.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drone_yolo_tpu.cfg import get_cfg, get_save_dir
+from drone_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+from drone_yolo_tpu.data.utils import check_cls_dataset, check_det_dataset
+from drone_yolo_tpu.engine.checkpoint import save_checkpoint
+from drone_yolo_tpu.nn import modules as M
+from drone_yolo_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from drone_yolo_tpu.utils import LOGGER, TQDM, colorstr, yaml_save
+from drone_yolo_tpu.utils.callbacks import CallbackMixin, add_integration_callbacks, get_default_callbacks
+from drone_yolo_tpu.utils.ema import EarlyStopping, ema_update
+from drone_yolo_tpu.utils.loss import v8DetectionLoss
+from drone_yolo_tpu.utils.optimizer import (
+    adamw_step,
+    auto_optimizer,
+    build_lr_fn,
+    clip_global_norm,
+    init_adam,
+    init_momentum,
+    label_tree,
+    sgd_step,
+)
+
+
+class BaseTrainer(CallbackMixin):
+    """Detection trainer (subclasses specialize dataset/loss/validator)."""
+
+    loss_names = ("box_loss", "cls_loss", "dfl_loss")
+
+    def __init__(self, cfg=None, overrides=None, _callbacks=None):
+        self.args = get_cfg(cfg or {}, overrides)
+        self.args.task = self.args.task or "detect"
+        self.save_dir = get_save_dir(self.args)
+        self.wdir = self.save_dir / "weights"
+        self.args.name = self.save_dir.name
+        self.batch_size = int(self.args.batch)
+        self.epochs = int(self.args.epochs)
+        self.start_epoch = 0
+        self.best_fitness = None
+        self.fitness = None
+        self.metrics = None
+        self.best_vars = None
+        self.model_facade = None
+        self.callbacks = _callbacks or get_default_callbacks()
+        np.random.seed(self.args.seed)
+        import random
+
+        random.seed(self.args.seed)
+        self.data = self.get_dataset()
+        add_integration_callbacks(self)
+
+    # -- dataset -------------------------------------------------------------
+    def get_dataset(self):
+        task = self.args.task
+        if task == "classify":
+            return check_cls_dataset(self.args.data)
+        return check_det_dataset(self.args.data)
+
+    def build_dataset(self, img_path, mode="train", batch=None):
+        cfg = self.args
+        return build_yolo_dataset(cfg, img_path, batch or self.batch_size, self.data, mode=mode, stride=int(max(self.model.stride)))
+
+    # -- model ---------------------------------------------------------------
+    def setup_model(self):
+        """Bind/construct the task model + variables."""
+        facade = self.model_facade
+        if facade is None:
+            from drone_yolo_tpu.engine.model import YOLO
+
+            facade = self.model_facade = YOLO(self.args.model, task=self.args.task)
+        data_nc = self.data.get("nc")
+        if data_nc and facade.model.nc != data_nc and self.args.task != "classify":
+            # rebuild head for the dataset's class count (reference rebuilds the
+            # DetectionModel with nc from check_det_dataset, trainer.py:545)
+            from drone_yolo_tpu.nn.model import TASK2MODELCLASS
+
+            facade.model = TASK2MODELCLASS[facade.task](facade.model.yaml, nc=data_nc)
+            facade.variables = None
+        self.model = facade.model
+        self.model.names = self.data.get("names", self.model.names)
+        imgsz = int(self.args.imgsz)
+        facade.ensure_variables(imgsz=imgsz, seed=self.args.seed)
+        self.variables = facade.variables
+
+    def get_criterion(self):
+        return v8DetectionLoss(self.model, box=self.args.box, cls=self.args.cls, dfl=self.args.dfl)
+
+    def get_validator(self):
+        from drone_yolo_tpu.models.yolo import TASK_MAP
+
+        v = TASK_MAP[self.args.task]["validator"](
+            args={**vars(self.args), "mode": "val", "rect": False, "conf": 0.001, "plots": False},
+            save_dir=self.save_dir,
+        )
+        return v
+
+    # -- training ------------------------------------------------------------
+    def train(self):
+        self._setup_train()
+        self._do_train()
+
+    def _setup_train(self):
+        self.run_callbacks("on_pretrain_routine_start")
+        self.setup_model()
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        yaml_save(self.save_dir / "args.yaml", vars(self.args))
+
+        # mesh: 1-D data parallel over all visible devices
+        n_dev = len(jax.devices())
+        if self.batch_size % n_dev != 0:
+            old = self.batch_size
+            self.batch_size = max(n_dev, self.batch_size // n_dev * n_dev)
+            LOGGER.warning(f"batch {old} not divisible by {n_dev} devices; using {self.batch_size}")
+        self.mesh = make_mesh()
+        LOGGER.info(f"Training on {n_dev} device(s), global batch {self.batch_size}")
+
+        # data
+        train_path, val_path = self.data.get("train"), self.data.get("val")
+        self.trainset = self.build_dataset(train_path, "train", self.batch_size)
+        self.train_loader = build_dataloader(
+            self.trainset, self.batch_size, self.args.workers, shuffle=True, seed=self.args.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        self.nb = len(self.train_loader)
+        self.validator = self.get_validator() if self.args.val and val_path else None
+
+        # optimizer
+        self.accumulate = max(round(self.args.nbs / self.batch_size), 1)
+        weight_decay = self.args.weight_decay * self.batch_size * self.accumulate / self.args.nbs
+        iterations = math.ceil(self.nb / self.accumulate) * self.epochs
+        self.opt_name, self.lr0, self.momentum = auto_optimizer(self.args, self.data.get("nc", self.model.nc), iterations)
+        self.weight_decay = weight_decay
+        LOGGER.info(
+            f"optimizer: {self.opt_name}(lr={self.lr0}, momentum={self.momentum}) "
+            f"wd={weight_decay:.5f}, accumulate={self.accumulate}"
+        )
+        self.lf = build_lr_fn(self.args, self.epochs)
+        self.criterion = self.get_criterion()
+        self.stopper = EarlyStopping(patience=self.args.patience)
+
+        # state pytree (replicated over the mesh)
+        labels = label_tree(self.variables)
+        self.labels = labels
+        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)  # noqa: E731
+        opt_state = init_adam(self.variables) if self.opt_name.lower().startswith("adam") else init_momentum(self.variables)
+        self.state = {
+            "params": self.variables,
+            "opt": opt_state,
+            # true copy: astype is a no-op on fp32 leaves and would alias params,
+            # making state donation fail with "donate the same buffer twice"
+            "ema": jax.tree_util.tree_map(lambda x: jnp.array(x, dtype=jnp.float32, copy=True), self.variables),
+            "acc": zeros_like(self.variables),
+            "count": jnp.zeros((), jnp.int32),
+            "step": jnp.zeros((), jnp.int32),  # optimizer steps (EMA ramp counter)
+        }
+        rep = replicate(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        self._build_train_step()
+        self.resume_training()
+        self.run_callbacks("on_pretrain_routine_end")
+
+    def _build_train_step(self):
+        model, criterion = self.model, self.criterion
+        accumulate = self.accumulate
+        dtype = jnp.bfloat16 if self.args.amp else jnp.float32
+        use_adam = self.opt_name.lower().startswith("adam")
+        weight_decay = self.weight_decay
+        merge_bn = self.model.merge_bn_updates
+
+        def step_fn(state, img, cls, bboxes, mask, lr_w, lr_b, mom):
+            def loss_fn(params):
+                ctx = M.Ctx(train=True, dtype=dtype)
+                feats = model.apply(params, img, ctx=ctx)
+                loss, items = criterion(feats, {"cls": cls, "bboxes": bboxes, "mask": mask})
+                return loss, (items, ctx.updates)
+
+            (loss, (items, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+            acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), state["acc"], grads)
+            count = state["count"] + 1
+
+            def do_apply(op):
+                params, opt, ema, acc_in = op
+                scaled = jax.tree_util.tree_map(lambda g: g / accumulate, acc_in)
+                clipped, _ = clip_global_norm(scaled, 10.0)
+                if use_adam:
+                    new_params, new_opt = adamw_step(params, clipped, opt, self.labels, lr_w, lr_b, mom, weight_decay)
+                else:
+                    new_params, new_opt = sgd_step(params, clipped, opt, self.labels, lr_w, lr_b, mom, weight_decay)
+                new_ema = ema_update(ema, new_params, state["step"] + 1)
+                zero = jax.tree_util.tree_map(jnp.zeros_like, acc_in)
+                return new_params, new_opt, new_ema, zero
+
+            def no_apply(op):
+                params, opt, ema, acc_in = op
+                return params, opt, ema, acc_in
+
+            apply_now = count >= accumulate
+            params, opt, ema, acc = jax.lax.cond(apply_now, do_apply, no_apply, (state["params"], state["opt"], state["ema"], acc))
+            params = merge_bn(params, bn_updates)
+            new_state = {
+                "params": params,
+                "opt": opt,
+                "ema": ema,
+                "acc": acc,
+                "count": jnp.where(apply_now, 0, count),
+                "step": state["step"] + apply_now.astype(jnp.int32),
+            }
+            return new_state, loss, items
+
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    def preprocess_batch(self, batch):
+        """uint8 HWC host batch -> sharded device arrays in [0, 1]."""
+        img = batch["img"].astype(np.float32) / 255.0
+        arrays = {"img": img, "cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
+        return shard_batch(arrays, self.mesh)
+
+    def _warmup_hyp(self, ni: int, epoch: int):
+        """Per-batch lr/momentum warmup interpolation (reference trainer.py:366)."""
+        nw = max(round(self.args.warmup_epochs * self.nb), 100) if self.args.warmup_epochs > 0 else -1
+        lr = self.lr0 * self.lf(epoch)
+        if ni <= nw and nw > 0:
+            xi = [0, nw]
+            lr_w = float(np.interp(ni, xi, [0.0, lr]))
+            lr_b = float(np.interp(ni, xi, [self.args.warmup_bias_lr, lr]))
+            mom = float(np.interp(ni, xi, [self.args.warmup_momentum, self.momentum]))
+        else:
+            lr_w = lr_b = lr
+            mom = self.momentum
+        return lr_w, lr_b, mom
+
+    def _do_train(self):
+        self.run_callbacks("on_train_start")
+        LOGGER.info(
+            f"Image sizes {self.args.imgsz} train, {self.args.imgsz} val\n"
+            f"Logging results to {colorstr('bold', self.save_dir)}\n"
+            f"Starting training for {self.epochs} epochs..."
+        )
+        t0 = time.time()
+        ni = self.start_epoch * self.nb
+        final_epoch = self.epochs - 1
+        for epoch in range(self.start_epoch, self.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
+            if epoch == self.epochs - self.args.close_mosaic and self.args.close_mosaic:
+                LOGGER.info("Closing dataloader mosaic")
+                self.trainset.close_mosaic(self.args)
+            self.train_loader.set_epoch(epoch)
+
+            tloss = None
+            pbar = TQDM(enumerate(self.train_loader), total=self.nb, desc=f"{epoch + 1}/{self.epochs}")
+            for i, batch in pbar:
+                self.run_callbacks("on_train_batch_start")
+                lr_w, lr_b, mom = self._warmup_hyp(ni, epoch)
+                dev_batch = self.preprocess_batch(batch)
+                self.state, loss, items = self.train_step(
+                    self.state, dev_batch["img"], dev_batch["cls"], dev_batch["bboxes"], dev_batch["mask"],
+                    jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom),
+                )
+                items = np.asarray(items)
+                tloss = items if tloss is None else (tloss * i + items) / (i + 1)
+                if self.args.plots and ni < 3:
+                    from drone_yolo_tpu.utils.plotting import plot_images
+
+                    bi = np.repeat(np.arange(len(batch["cls"])), batch["cls"].shape[1]) if len(batch["cls"]) else []
+                    plot_images(
+                        batch["img"].astype(np.float32) / 255.0,
+                        np.repeat(np.arange(batch["cls"].shape[0]), batch["cls"].shape[1]),
+                        batch["cls"].reshape(-1),
+                        batch["bboxes"].reshape(-1, 4),
+                        fname=self.save_dir / f"train_batch{ni}.jpg",
+                        names=self.model.names,
+                    )
+                ni += 1
+                self.lr_current = lr_w
+                if hasattr(pbar, "set_description"):
+                    pbar.set_description(
+                        f"{epoch + 1}/{self.epochs} " + " ".join(f"{n}={v:.3f}" for n, v in zip(self.loss_names, tloss))
+                    )
+                self.run_callbacks("on_train_batch_end")
+
+            self.label_loss_items_dict = {f"train/{n}": float(v) for n, v in zip(self.loss_names, tloss if tloss is not None else np.zeros(len(self.loss_names)))}
+            self.label_loss_items_dict["lr"] = self.lr_current if self.nb else 0.0
+            self.run_callbacks("on_train_epoch_end")
+
+            # validation + checkpointing (single-controller: process 0 writes)
+            self.metrics = {}
+            if self.validator is not None and (self.args.val or epoch == final_epoch):
+                self.metrics = self.validate()
+                self.fitness = self.metrics.get("fitness", 0.0)
+                if self.best_fitness is None or self.fitness > self.best_fitness:
+                    self.best_fitness = self.fitness
+                    self.best_vars = jax.device_get(self.state["ema"])
+            self.run_callbacks("on_fit_epoch_end")
+            if self.args.save and jax.process_index() == 0:
+                self.save_model()
+                self.run_callbacks("on_model_save")
+            if self.stopper(epoch, self.fitness):
+                LOGGER.info(f"EarlyStopping: no improvement for {self.args.patience} epochs, stopping at epoch {epoch}")
+                break
+
+        LOGGER.info(f"\n{self.epochs - self.start_epoch} epochs completed in {(time.time() - t0) / 3600:.3f} hours.")
+        self.run_callbacks("on_train_end")
+
+    def validate(self):
+        """Run the validator on EMA weights (reference trainer.py:427,671)."""
+        ema_vars = self.state["ema"]
+        metrics = self.validator(model=self.model_facade, variables=ema_vars)
+        return metrics if isinstance(metrics, dict) else getattr(self.validator.metrics, "results_dict", {})
+
+    def save_model(self):
+        """last/best checkpoints with EMA weights (reference trainer.py:514)."""
+        ema_host = jax.device_get(self.state["ema"])
+        meta = {
+            "epoch": self.epoch,
+            "best_fitness": float(self.best_fitness) if self.best_fitness is not None else 0.0,
+        }
+        save_checkpoint(self.wdir / "last.npz", self.model, ema_host, train_args=vars(self.args), meta=meta)
+        if self.best_fitness is not None and self.best_fitness == self.fitness:
+            save_checkpoint(self.wdir / "best.npz", self.model, ema_host, train_args=vars(self.args), meta=meta)
+        if self.args.save_period > 0 and self.epoch % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{self.epoch}.npz", self.model, ema_host, train_args=vars(self.args), meta=meta)
+        # full resume state (params + optimizer + counters)
+        from drone_yolo_tpu.engine.checkpoint import flatten_tree
+
+        resume_state = {
+            "params": jax.device_get(self.state["params"]),
+            "opt": jax.device_get(self.state["opt"]),
+            "ema": ema_host,
+            "step": np.asarray(self.state["step"]),
+            "epoch": np.int32(self.epoch),
+        }
+        np.savez(self.wdir / "resume_state.npz", **flatten_tree(resume_state))
+
+    def resume_training(self):
+        """Restore full train state if resume requested (reference trainer.py:729)."""
+        if not self.args.resume:
+            return
+        from drone_yolo_tpu.engine.checkpoint import unflatten_tree
+
+        path = Path(self.args.resume) if isinstance(self.args.resume, str) else self.wdir / "resume_state.npz"
+        if not path.exists():
+            LOGGER.warning(f"resume state {path} not found; starting fresh")
+            return
+        data = np.load(path, allow_pickle=False)
+        tree = unflatten_tree({k: data[k] for k in data.files})
+        rep = replicate(self.mesh)
+        self.state = jax.device_put(
+            {
+                "params": tree["params"],
+                "opt": tree["opt"],
+                "ema": tree["ema"],
+                "acc": jax.tree_util.tree_map(lambda x: np.zeros_like(x), tree["params"]),
+                "count": jnp.zeros((), jnp.int32),
+                "step": jnp.asarray(tree["step"]),
+            },
+            rep,
+        )
+        self.start_epoch = int(tree["epoch"]) + 1
+        LOGGER.info(f"Resuming training from epoch {self.start_epoch}")

@@ -89,7 +89,9 @@ class BaseModel:
                 xin = y[f]
             else:
                 xin = [out if j == -1 else y[j] for j in f]
-            out = spec.module(variables[str(spec.i)], xin, ctx)
+            # .get: parameter-free layers (Upsample/Concat) vanish through
+            # flatten/unflatten checkpoint round-trips
+            out = spec.module(variables.get(str(spec.i), {}), xin, ctx)
             y.append(out if spec.i in self.save else None)
         return out
 
@@ -103,7 +105,7 @@ class BaseModel:
         Reference equivalents: BaseModel.fuse (tasks.py:210-230) and
         RepVGGBlock.switch_to_deploy (block.py:1421).
         """
-        return {str(spec.i): spec.module.fuse_vars(variables[str(spec.i)]) for spec in self.layers}
+        return {str(spec.i): spec.module.fuse_vars(variables.get(str(spec.i), {})) for spec in self.layers}
 
     def merge_bn_updates(self, variables, updates: dict, momentum: float = M.BN_MOMENTUM):
         """Fold collected batch statistics into running stats: new = (1-m)*old + m*batch.

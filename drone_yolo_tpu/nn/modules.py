@@ -128,9 +128,12 @@ class Module:
 # ---------------------------------------------------------------------------
 # Primitive ops
 # ---------------------------------------------------------------------------
-def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1, out_dtype=None):
-    """NHWC conv with HWIO kernel, fp32 MXU accumulation."""
-    y = jax.lax.conv_general_dilated(
+def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1):
+    """NHWC conv with HWIO kernel. Output dtype == input dtype; the TPU MXU
+    accumulates bf16 x bf16 in fp32 internally, so no explicit
+    preferred_element_type is needed (and uniform dtypes keep the transpose
+    convs of the backward pass well-typed)."""
+    return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(s, s),
@@ -138,14 +141,17 @@ def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1, out_dtype=None)
         rhs_dilation=(d, d),
         feature_group_count=g,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def max_pool2d(x, k: int, s: int = 1, p: int = 0):
-    """NHWC max pool with torch-style symmetric padding."""
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    """NHWC max pool with torch-style symmetric padding.
+
+    The init value MUST be a python scalar -inf (not a jnp array): JAX's
+    reduce-window-max autodiff rule pattern-matches the monoid (max, -inf)
+    and falls back to a non-differentiable generic path otherwise.
+    """
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,66 @@
+"""Device-mesh construction and sharding helpers.
+
+This replaces the ENTIRE distributed stack of the reference (§2.8 of SURVEY.md:
+the torch.distributed.run re-exec launcher `utils/dist.py:25-66`, NCCL process
+groups `trainer.py:218-229`, DistributedSampler, loss x world_size scaling, and
+the stop-flag broadcasts): in JAX's single-controller SPMD model, the train step
+is jitted over a `Mesh` with the batch sharded on the "data" axis and parameters
+replicated; XLA inserts the gradient all-reduce over ICI (and DCN across slices).
+No subprocess launcher, no temp-file re-exec, no explicit collectives in user
+code. Multi-host runs call `jax.distributed.initialize()` once per process and
+run the same program.
+
+The mesh is 1-D ("data") today; model axes ("model" for tensor parallelism) can
+be added to the same Mesh without touching the trainer — shardings are expressed
+as PartitionSpecs over named axes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from drone_yolo_tpu.utils import LOGGER
+
+
+def make_mesh(shape=None, axes=("data",), devices=None) -> Mesh:
+    """Build a Mesh; default 1-D over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) if len(axes) == 1 else None
+    assert shape is not None and int(np.prod(shape)) == len(devices), (
+        f"mesh shape {shape} does not cover {len(devices)} devices"
+    )
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for batch-leading arrays: first dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device-put a host batch dict with the leading dim sharded over `axis`.
+
+    Replaces DistributedSampler + per-rank batch division (reference
+    data/build.py:144, trainer.py:286): the global batch is laid out across
+    devices in one call; per-host, jax.make_array_from_process_local_data would
+    slot in here for multi-process runs.
+    """
+    sh = data_sharding(mesh, axis)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
+            out[k] = jax.device_put(v, sh)
+        elif isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, replicate(mesh))
+        else:
+            out[k] = v  # host-side metadata (paths, shapes)
+    return out

@@ -1,0 +1,58 @@
+"""Experiment logger integrations wired to the callback bus.
+
+Capability parity with `ultralytics/utils/callbacks/{tensorboard,...}.py`: each
+integration returns an {event: fn} pack, or None when its dependency is absent.
+CSV logging (results.csv) is always available.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from drone_yolo_tpu.utils import LOGGER
+
+
+def csv_callbacks():
+    """Per-epoch metrics -> results.csv (reference trainer.py:663 save_metrics)."""
+
+    def on_fit_epoch_end(trainer):
+        metrics = {**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}
+        csv_path = Path(trainer.save_dir) / "results.csv"
+        keys = ["epoch"] + list(metrics.keys())
+        line = [trainer.epoch] + [f"{v:.5f}" if isinstance(v, float) else v for v in metrics.values()]
+        header = not csv_path.exists()
+        with open(csv_path, "a", encoding="utf-8") as f:
+            if header:
+                f.write(",".join(str(k) for k in keys) + "\n")
+            f.write(",".join(str(v) for v in line) + "\n")
+
+    return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
+def tensorboard_callbacks():
+    """TensorBoard scalars, if tensorboard is importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # torch cpu ships it
+    except Exception:  # noqa: BLE001
+        return None
+
+    state = {}
+
+    def _writer(trainer):
+        if "w" not in state:
+            state["w"] = SummaryWriter(str(trainer.save_dir))
+        return state["w"]
+
+    def on_fit_epoch_end(trainer):
+        w = _writer(trainer)
+        for k, v in {**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}.items():
+            try:
+                w.add_scalar(k, float(v), trainer.epoch)
+            except (TypeError, ValueError):
+                pass
+
+    def on_train_end(trainer):
+        if "w" in state:
+            state["w"].close()
+
+    return {"on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
