@@ -88,8 +88,9 @@ class Mosaic:
                     k[..., 0] += padw
                     k[..., 1] += padh
                     kpt_all.append(k)
-            for seg in lb.get("segments", []) or []:
-                seg_all.append(seg + np.array([padw, padh], np.float32))
+                # segments stay 1:1 with boxes (clip/affine filter them together)
+                for seg in lb.get("segments", []) or []:
+                    seg_all.append(seg + np.array([padw, padh], np.float32))
 
         out = {
             "img": canvas,
@@ -216,10 +217,29 @@ class RandomPerspective:
                 img = cv2.warpAffine(img, Mt[:2], dsize=(out_w, out_h), borderValue=(114, 114, 114))
 
         boxes = labels["bboxes"]
+        segments = labels.get("segments")
         n = len(boxes)
         new_boxes = np.zeros((0, 4), np.float32)
         keep = np.zeros((0,), bool)
-        if n:
+        new_segments = None
+        if n and segments and len(segments) == n:
+            # warp segment polygons; boxes re-derived from warped segments
+            # (reference augment.py apply_segments)
+            new_segments = []
+            sb = []
+            for seg in segments:
+                pts = np.ones((len(seg), 3), np.float32)
+                pts[:, :2] = seg
+                pts = pts @ Mt.T
+                p2 = pts[:, :2] / pts[:, 2:3] if self.perspective else pts[:, :2]
+                p2[:, 0] = p2[:, 0].clip(0, out_w)
+                p2[:, 1] = p2[:, 1].clip(0, out_h)
+                new_segments.append(p2.astype(np.float32))
+                sb.append([p2[:, 0].min(), p2[:, 1].min(), p2[:, 0].max(), p2[:, 1].max()])
+            new_boxes = np.asarray(sb, np.float32)
+            keep = _box_candidates(boxes.T * s, new_boxes.T, area_thr=0.01)
+            new_segments = [sg for sg, k in zip(new_segments, keep) if k]
+        elif n:
             pts = np.ones((n * 4, 3), np.float32)
             pts[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(n * 4, 2)
             pts = pts @ Mt.T
@@ -233,6 +253,12 @@ class RandomPerspective:
         labels["img"] = img
         labels["bboxes"] = new_boxes[keep]
         labels["cls"] = labels["cls"][keep] if n else labels["cls"]
+        if new_segments is not None:
+            labels["segments"] = new_segments
+            labels.pop("mosaic_border", None)
+            if labels.get("keypoints") is not None:
+                labels["keypoints"] = labels["keypoints"][keep]
+            return labels
         if labels.get("keypoints") is not None and n:
             k = labels["keypoints"][keep]
             if len(k):
@@ -307,6 +333,9 @@ class RandomFlip:
             labels["img"] = np.ascontiguousarray(img[:, ::-1])
             if len(boxes):
                 boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+            if labels.get("segments"):
+                for seg in labels["segments"]:
+                    seg[:, 0] = w - seg[:, 0]
             if labels.get("keypoints") is not None:
                 k = labels["keypoints"]
                 k[..., 0] = w - k[..., 0]
@@ -317,6 +346,9 @@ class RandomFlip:
             labels["img"] = np.ascontiguousarray(img[::-1])
             if len(boxes):
                 boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+            if labels.get("segments"):
+                for seg in labels["segments"]:
+                    seg[:, 1] = h - seg[:, 1]
             if labels.get("keypoints") is not None:
                 labels["keypoints"][..., 1] = h - labels["keypoints"][..., 1]
         labels["bboxes"] = boxes
@@ -362,7 +394,8 @@ class BGRChannel:
 
 
 def clip_sample(labels, shape):
-    """Clip boxes/keypoints to (h, w) and drop empty boxes."""
+    """Clip boxes/segments/keypoints to (h, w) and drop empty boxes (keeping all
+    instance-aligned arrays in sync)."""
     h, w = shape
     b = labels["bboxes"]
     if len(b):
@@ -373,6 +406,11 @@ def clip_sample(labels, shape):
         labels["cls"] = labels["cls"][keep]
         if labels.get("keypoints") is not None:
             labels["keypoints"] = labels["keypoints"][keep]
+        if labels.get("segments") and len(labels["segments"]) == len(keep):
+            for seg in labels["segments"]:
+                seg[:, 0] = seg[:, 0].clip(0, w)
+                seg[:, 1] = seg[:, 1].clip(0, h)
+            labels["segments"] = [s for s, k in zip(labels["segments"], keep) if k]
     return labels
 
 

@@ -236,11 +236,25 @@ class YOLODataset:
         boxes = np.zeros((b, m, 4), np.float32)
         mask = np.zeros((b, m), np.float32)
         kpts = None
+        seg_masks = None
         if self.use_keypoints:
             nk = self.kpt_shape[0]
             kpts = np.zeros((b, m, nk, 3), np.float32)
+        if self.use_segments:
+            ratio = int(getattr(self.hyp, "mask_ratio", 4) or 4)
+            h, w = imgs.shape[1] // ratio, imgs.shape[2] // ratio
+            seg_masks = np.zeros((b, h, w), np.int32)
         for i, s in enumerate(samples):
             n = min(len(s["cls"]), m)
+            if seg_masks is not None and s.get("segments"):
+                # overlap-mode index mask: larger instances first so small ones win
+                # (reference data/utils.py:253 polygons2masks_overlap); instance
+                # slots are reordered to match the mask indices
+                from drone_yolo_tpu.data.utils import polygons2masks_overlap
+
+                om, order = polygons2masks_overlap(imgs.shape[1:3], s["segments"][:n], ratio)
+                seg_masks[i] = om
+                s = {**s, "cls": s["cls"][order], "bboxes": s["bboxes"][order]}
             if n:
                 cls[i, :n] = s["cls"][:n]
                 boxes[i, :n] = s["bboxes"][:n]
@@ -258,6 +272,10 @@ class YOLODataset:
         }
         if kpts is not None:
             batch["keypoints"] = kpts
+        if seg_masks is not None:
+            batch["masks"] = seg_masks
+        if self.task == "obb":
+            batch["segments_list"] = [s.get("segments", []) for s in samples]
         return batch
 
 

@@ -167,10 +167,10 @@ class BasePredictor(CallbackMixin):
                     x = self.preprocess(im0s)
                 with profilers[1]:
                     fn = self._forward_fn(x.shape)
-                    dets, n_valid = fn(self.variables, x)
+                    payload, n_valid = fn(self.variables, x)
                     n_valid = jax.device_get(n_valid)
                 with profilers[2]:
-                    self.results = self.postprocess(dets, n_valid, x.shape[1:3], im0s, paths)
+                    self.results = self.postprocess(payload, n_valid, x.shape[1:3], im0s, paths)
                 self.run_callbacks("on_predict_postprocess_end")
 
                 for i, result in enumerate(self.results):

@@ -96,12 +96,21 @@ class BaseTrainer(CallbackMixin):
 
             facade = self.model_facade = YOLO(self.args.model, task=self.args.task)
         data_nc = self.data.get("nc")
-        if data_nc and facade.model.nc != data_nc and self.args.task != "classify":
-            # rebuild head for the dataset's class count (reference rebuilds the
-            # DetectionModel with nc from check_det_dataset, trainer.py:545)
-            from drone_yolo_tpu.nn.model import TASK2MODELCLASS
+        data_kpt = self.data.get("kpt_shape")
+        kpt_differs = (
+            self.args.task == "pose"
+            and data_kpt
+            and tuple(data_kpt) != tuple(getattr(facade.model.head, "kpt_shape", data_kpt))
+        )
+        if (data_nc and facade.model.nc != data_nc) or kpt_differs:
+            # rebuild head for the dataset's class/keypoint config (reference
+            # rebuilds the model with nc from check_det_dataset, trainer.py:545)
+            from drone_yolo_tpu.nn.model import PoseModel, TASK2MODELCLASS
 
-            facade.model = TASK2MODELCLASS[facade.task](facade.model.yaml, nc=data_nc)
+            if self.args.task == "pose":
+                facade.model = PoseModel(facade.model.yaml, nc=data_nc, data_kpt_shape=tuple(data_kpt or (None, None)))
+            else:
+                facade.model = TASK2MODELCLASS[facade.task](facade.model.yaml, nc=data_nc)
             facade.variables = None
         self.model = facade.model
         self.model.names = self.data.get("names", self.model.names)
@@ -194,11 +203,11 @@ class BaseTrainer(CallbackMixin):
         weight_decay = self.weight_decay
         merge_bn = self.model.merge_bn_updates
 
-        def step_fn(state, img, cls, bboxes, mask, lr_w, lr_b, mom):
+        def step_fn(state, batch, lr_w, lr_b, mom):
             def loss_fn(params):
                 ctx = M.Ctx(train=True, dtype=dtype)
-                feats = model.apply(params, img, ctx=ctx)
-                loss, items = criterion(feats, {"cls": cls, "bboxes": bboxes, "mask": mask})
+                out = model.apply(params, batch["img"], ctx=ctx)
+                loss, items = criterion(out, batch)
                 return loss, (items, ctx.updates)
 
             (loss, (items, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
@@ -238,8 +247,8 @@ class BaseTrainer(CallbackMixin):
 
     def preprocess_batch(self, batch):
         """uint8 HWC host batch -> sharded device arrays in [0, 1]."""
-        img = batch["img"].astype(np.float32) / 255.0
-        arrays = {"img": img, "cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        arrays["img"] = batch["img"].astype(np.float32) / 255.0
         return shard_batch(arrays, self.mesh)
 
     def _warmup_hyp(self, ni: int, epoch: int):
@@ -269,7 +278,7 @@ class BaseTrainer(CallbackMixin):
         for epoch in range(self.start_epoch, self.epochs):
             self.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
-            if epoch == self.epochs - self.args.close_mosaic and self.args.close_mosaic:
+            if epoch == self.epochs - self.args.close_mosaic and self.args.close_mosaic and hasattr(self.trainset, "close_mosaic"):
                 LOGGER.info("Closing dataloader mosaic")
                 self.trainset.close_mosaic(self.args)
             self.train_loader.set_epoch(epoch)
@@ -281,12 +290,11 @@ class BaseTrainer(CallbackMixin):
                 lr_w, lr_b, mom = self._warmup_hyp(ni, epoch)
                 dev_batch = self.preprocess_batch(batch)
                 self.state, loss, items = self.train_step(
-                    self.state, dev_batch["img"], dev_batch["cls"], dev_batch["bboxes"], dev_batch["mask"],
-                    jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom),
+                    self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom)
                 )
                 items = np.asarray(items)
                 tloss = items if tloss is None else (tloss * i + items) / (i + 1)
-                if self.args.plots and ni < 3:
+                if self.args.plots and ni < 3 and "bboxes" in batch:
                     from drone_yolo_tpu.utils.plotting import plot_images
 
                     bi = np.repeat(np.arange(len(batch["cls"])), batch["cls"].shape[1]) if len(batch["cls"]) else []

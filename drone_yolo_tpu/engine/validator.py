@@ -77,11 +77,10 @@ class BaseValidator(CallbackMixin):
             t0 = time.perf_counter()
             img = batch["img"].astype(np.float32) / 255.0
             t1 = time.perf_counter()
-            dets, n_valid = self._forward(img.shape)(self.variables, jnp.asarray(img))
-            dets = np.asarray(dets)
+            out, n_valid = self._forward(img.shape)(self.variables, jnp.asarray(img))
             n_valid = np.asarray(n_valid)
             t2 = time.perf_counter()
-            self.update_metrics(dets, n_valid, batch, img.shape[1:3])
+            self.update_metrics(out, n_valid, batch, img.shape[1:3])
             t3 = time.perf_counter()
             dt[0] += t1 - t0
             dt[1] += t2 - t1
@@ -130,6 +129,7 @@ class BaseValidator(CallbackMixin):
 
     # -- metrics ----------------------------------------------------------------
     def update_metrics(self, dets, n_valid, batch, in_shape):
+        dets = np.asarray(dets)
         for i in range(len(dets)):
             self.seen += 1
             d = dets[i, : int(n_valid[i])].copy()

@@ -1,13 +1,23 @@
 """YOLO task registry: {task: {model, trainer, validator, predictor}}.
 
 Capability parity with the reference's task_map (`models/yolo/model.py:26-59`).
-Detection is fully wired; segment/pose/obb/classify share the detect machinery
-until their specialized losses/postprocess land (tracked for later rounds).
 """
 
 from drone_yolo_tpu.engine.predictor import BasePredictor
 from drone_yolo_tpu.engine.trainer import BaseTrainer
 from drone_yolo_tpu.engine.validator import BaseValidator, DetectionValidator
+from drone_yolo_tpu.models.yolo.classify import (
+    ClassificationPredictor,
+    ClassificationTrainer,
+    ClassificationValidator,
+)
+from drone_yolo_tpu.models.yolo.obb import OBBPredictor, OBBTrainer, OBBValidator
+from drone_yolo_tpu.models.yolo.pose import PosePredictor, PoseTrainer, PoseValidator
+from drone_yolo_tpu.models.yolo.segment import (
+    SegmentationPredictor,
+    SegmentationTrainer,
+    SegmentationValidator,
+)
 from drone_yolo_tpu.nn.model import (
     ClassificationModel,
     DetectionModel,
@@ -34,26 +44,26 @@ TASK_MAP = {
     },
     "segment": {
         "model": SegmentationModel,
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": SegmentationTrainer,
+        "validator": SegmentationValidator,
+        "predictor": SegmentationPredictor,
     },
     "pose": {
         "model": PoseModel,
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": PoseTrainer,
+        "validator": PoseValidator,
+        "predictor": PosePredictor,
     },
     "obb": {
         "model": OBBModel,
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": OBBTrainer,
+        "validator": OBBValidator,
+        "predictor": OBBPredictor,
     },
     "classify": {
         "model": ClassificationModel,
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": ClassificationTrainer,
+        "validator": ClassificationValidator,
+        "predictor": ClassificationPredictor,
     },
 }

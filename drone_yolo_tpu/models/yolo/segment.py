@@ -1,0 +1,173 @@
+"""Segmentation task triple (reference models/yolo/segment/{train,val,predict}.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drone_yolo_tpu.engine.predictor import BasePredictor
+from drone_yolo_tpu.engine.results import Results
+from drone_yolo_tpu.engine.trainer import BaseTrainer
+from drone_yolo_tpu.engine.validator import BaseValidator
+from drone_yolo_tpu.nn import modules as M
+from drone_yolo_tpu.ops.boxes import scale_boxes
+from drone_yolo_tpu.ops.masks import mask_iou_np, process_mask, scale_masks_np
+from drone_yolo_tpu.ops.nms import non_max_suppression
+from drone_yolo_tpu.utils.loss import v8SegmentationLoss
+from drone_yolo_tpu.utils.metrics import SegmentMetrics, box_iou_np, match_predictions
+
+
+class SegmentationTrainer(BaseTrainer):
+    loss_names = ("box_loss", "seg_loss", "cls_loss", "dfl_loss")
+
+    def get_criterion(self):
+        return v8SegmentationLoss(
+            self.model, overlap=self.args.overlap_mask, box=self.args.box, cls=self.args.cls, dfl=self.args.dfl
+        )
+
+
+class SegmentationPredictor(BasePredictor):
+    """Adds prototype-mask reconstruction to detection postprocess."""
+
+    def _forward_fn(self, shape):
+        key = ("seg", shape)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        nc = self.model.nc
+        model = self.model
+        dtype = self.dtype
+        pre_topk = min(int(self.args.pre_nms_topk), 1024)
+
+        @jax.jit
+        def fn(variables, x):
+            preds, aux = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))
+            protos = aux[2]
+            dets, n = non_max_suppression(
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc
+            )
+            return (dets, protos), n
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def postprocess(self, out, n_valid, x_shape, orig_imgs, paths):
+        dets, protos = out
+        dets = np.asarray(dets)
+        protos_np = np.asarray(protos, np.float32)
+        n_valid = np.asarray(n_valid)
+        results = []
+        for i, (im0, path) in enumerate(zip(orig_imgs, paths)):
+            n = int(n_valid[i])
+            d = dets[i, :n].copy()
+            masks = None
+            if n:
+                m = np.asarray(
+                    process_mask(jnp.asarray(protos_np[i]), jnp.asarray(d[:, 6:]), jnp.asarray(d[:, :4]), x_shape, upsample=False)
+                )
+                masks = scale_masks_np(m, im0.shape[:2], x_shape, None) > 0.5
+                d[:, :4] = np.asarray(scale_boxes(x_shape, d[:, :4], im0.shape[:2]))
+            results.append(Results(im0, path, self.model.names, boxes=d[:, :6] if n else d, masks=masks))
+        return results
+
+
+class SegmentationValidator(BaseValidator):
+    """Box + mask mAP (reference models/yolo/segment/val.py)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.metrics = SegmentMetrics()
+        self.args.task = "segment"
+
+    def _forward(self, shape):
+        key = ("seg", tuple(shape))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        nc = self.nc
+        model = self.model
+        pre_topk = int(self.args.pre_nms_topk)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def fn(variables, x):
+            preds, aux = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))
+            protos = aux[2]
+            dets, n = non_max_suppression(
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc, multi_label=True
+            )
+            return (dets, protos), n
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def update_metrics(self, out, n_valid, batch, in_shape):
+        dets, protos = out
+        dets = np.asarray(dets)
+        protos = np.asarray(protos, np.float32)
+        n_valid = np.asarray(n_valid)
+        self.stats.setdefault("tp_m", [])
+        for i in range(len(dets)):
+            self.seen += 1
+            n = int(n_valid[i])
+            d = dets[i, :n].copy()
+            gt_mask = batch["mask"][i].astype(bool)
+            gt_boxes_in = batch["bboxes"][i][gt_mask]
+            gt_cls = batch["cls"][i][gt_mask]
+            ori_shape = batch["ori_shapes"][i]
+            rp = batch["ratio_pads"][i]
+            n_gt = len(gt_cls)
+
+            # mask TP at proto resolution
+            om = batch.get("masks")
+            tp_m = np.zeros((n, len(self.iouv)), bool)
+            if n and n_gt and om is not None:
+                pm = np.asarray(
+                    process_mask(jnp.asarray(protos[i]), jnp.asarray(d[:, 6:]), jnp.asarray(d[:, :4]), in_shape)
+                )
+                pm = pm > 0.5
+                omi = om[i]
+                if omi.shape != pm.shape[1:]:
+                    import cv2
+
+                    omi = cv2.resize(omi.astype(np.float32), (pm.shape[2], pm.shape[1]), interpolation=cv2.INTER_NEAREST)
+                gm = np.stack([(omi == j + 1) for j in range(n_gt)]).astype(np.float32)
+                miou = mask_iou_np(gm, pm)
+                tp_m = match_predictions(d[:, 5].astype(int), gt_cls.astype(int), miou, self.iouv)
+
+            # box TP in native space
+            if n:
+                d[:, :4] = np.asarray(scale_boxes(in_shape, d[:, :4], ori_shape, ratio_pad=((rp[0], rp[0]), rp[1]) if rp else None))
+            gt_native = gt_boxes_in.copy()
+            if n_gt:
+                gt_native = np.asarray(scale_boxes(in_shape, gt_native, ori_shape, ratio_pad=((rp[0], rp[0]), rp[1]) if rp else None))
+            iou = box_iou_np(gt_native, d[:, :4]) if n and n_gt else np.zeros((n_gt, n))
+            tp = match_predictions(d[:, 5].astype(int), gt_cls.astype(int), iou, self.iouv)
+
+            self.stats["tp"].append(tp)
+            self.stats["tp_m"].append(tp_m)
+            self.stats["conf"].append(d[:, 4])
+            self.stats["pred_cls"].append(d[:, 5])
+            self.stats["target_cls"].append(gt_cls)
+
+    def get_stats(self):
+        tp = np.concatenate(self.stats["tp"]) if self.stats["tp"] else np.zeros((0, len(self.iouv)), bool)
+        tp_m = np.concatenate(self.stats["tp_m"]) if self.stats.get("tp_m") else np.zeros((0, len(self.iouv)), bool)
+        conf = np.concatenate(self.stats["conf"]) if self.stats["conf"] else np.zeros(0)
+        pred_cls = np.concatenate(self.stats["pred_cls"]) if self.stats["pred_cls"] else np.zeros(0)
+        target_cls = np.concatenate(self.stats["target_cls"]) if self.stats["target_cls"] else np.zeros(0)
+        if len(conf):
+            self.metrics.process(tp, tp_m, conf, pred_cls, target_cls)
+        self.nt_per_class = np.bincount(target_cls.astype(int), minlength=self.nc)
+        keys = self.metrics.keys
+        return dict(zip(keys, self.metrics.mean_results()))
+
+    def print_results(self):
+        from drone_yolo_tpu.utils import LOGGER
+
+        pf = "%22s%11i%11i" + "%11.3g" * 8
+        LOGGER.info(("%22s%11s%11s" + "%11s" * 8) % ("Class", "Images", "Instances", "P", "R", "mAP50", "mAP50-95", "P(M)", "R(M)", "mAP50(M)", "mAP50-95(M)"))
+        LOGGER.info(pf % ("all", self.seen, int(self.nt_per_class.sum()), *self.metrics.mean_results()))
+        t = self.speed
+        LOGGER.info(f"Speed: {t['preprocess']:.1f}ms preprocess, {t['inference']:.1f}ms inference, {t['postprocess']:.1f}ms postprocess per image")

@@ -151,6 +151,44 @@ def non_max_suppression(
     return dets, n_valid
 
 
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "nc"))
+def nms_rotated(preds, conf_thres: float = 0.25, iou_thres: float = 0.45, max_det: int = 300, pre_topk: int = 1024, nc: int = 0):
+    """Batched rotated NMS using probiou (reference utils/ops.py:146 nms_rotated).
+
+    preds: (B, A, 5 + nc) with (cx, cy, w, h, scores..., angle-last layout is NOT
+    used here — pass (cx, cy, w, h, scores..., angle) via caller packing:
+    boxes[..., :4], scores[..., 4:4+nc], angle preds[..., -1:].
+    Returns (B, max_det, 7) [cx, cy, w, h, angle, conf, cls] and counts.
+    """
+    from drone_yolo_tpu.ops.boxes import probiou
+
+    b, a, ch = preds.shape
+    boxes = preds[..., :4]
+    scores = preds[..., 4 : 4 + nc]
+    angle = preds[..., 4 + nc : 5 + nc]
+    k = min(pre_topk, a)
+
+    def single(boxes_i, scores_i, angle_i):
+        per_anchor = jnp.max(scores_i, axis=-1)
+        cls_all = jnp.argmax(scores_i, axis=-1)
+        top_scores, idx = jax.lax.top_k(per_anchor, k)
+        rb = jnp.concatenate([boxes_i[idx], angle_i[idx]], axis=-1)  # (K, 5)
+        cls_idx = cls_all[idx].astype(jnp.float32)
+        valid = top_scores > conf_thres
+        iou = probiou(rb[:, None, :], rb[None, :, :])
+        same_cls = cls_idx[:, None] == cls_idx[None, :]
+        upper = jnp.triu(jnp.ones((k, k), bool), 1)
+        adj = upper & (iou > iou_thres) & same_cls
+        keep = _greedy_keep(adj, valid)
+        order = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_det]
+        sel_valid = keep[order]
+        det = jnp.concatenate([rb[order], top_scores[order, None], cls_idx[order, None]], axis=-1)
+        det = det * sel_valid[:, None].astype(det.dtype)
+        return det, jnp.sum(sel_valid.astype(jnp.int32))
+
+    return jax.vmap(single)(boxes, scores, angle)
+
+
 def class_mask(classes, nc: int):
     """Build a static (nc,) 0/1 mask from a class index list (for `classes=` filtering)."""
     import numpy as np

@@ -108,3 +108,270 @@ class v8DetectionLoss:
         )
         # reference returns loss.sum() * batch_size (loss.py:260)
         return jnp.sum(items) * b, jax.lax.stop_gradient(items)
+
+    def _detect_parts(self, feats, targets):
+        """Shared detection-loss computation returning intermediates for subclasses."""
+        b = feats[0].shape[0]
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        a = pred_distri.shape[1]
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ jnp.arange(
+            self.reg_max, dtype=jnp.float32
+        )
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
+
+        gt_labels = targets["cls"].astype(jnp.int32)
+        gt_bboxes = targets["bboxes"].astype(jnp.float32) * targets["mask"].astype(jnp.float32)[..., None]
+        mask_gt = targets["mask"].astype(jnp.float32)
+        t_labels, t_bboxes, t_scores, fg_mask, t_gt_idx = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+        tss = jnp.maximum(jnp.sum(t_scores), 1.0)
+        loss_cls = jnp.sum(bce_with_logits(pred_scores, t_scores)) / tss
+        t_bboxes_g = t_bboxes / stride_tensor[None]
+        weight = jnp.sum(t_scores, axis=-1) * fg_mask
+        iou = bbox_iou(pred_bboxes, t_bboxes_g, xywh=False, CIoU=True)
+        loss_box = jnp.sum((1.0 - iou) * weight) / tss
+        t_ltrb = bbox2dist(anchor_points[None], t_bboxes_g, self.reg_max - 1)
+        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), t_ltrb, self.reg_max)[..., 0]
+        loss_dfl = jnp.sum(dfl_elem * weight) / tss
+        return {
+            "b": b,
+            "anchor_points": anchor_points,
+            "stride_tensor": stride_tensor,
+            "pred_bboxes": pred_bboxes,
+            "fg_mask": fg_mask,
+            "t_gt_idx": t_gt_idx,
+            "t_bboxes": t_bboxes,
+            "t_scores": t_scores,
+            "tss": tss,
+            "loss_box": loss_box,
+            "loss_cls": loss_cls,
+            "loss_dfl": loss_dfl,
+            "weight": weight,
+        }
+
+
+class v8SegmentationLoss(v8DetectionLoss):
+    """Detection losses + prototype-mask BCE (reference loss.py:263).
+
+    Static-shape twist: the reference iterates over the dynamic set of foreground
+    anchors; here the top `max_fg` anchors by assigned score are selected per
+    image (fg beyond that cap — rare at sane max_boxes — is dropped from the
+    MASK loss only; box/cls/dfl still see every anchor).
+    """
+
+    def __init__(self, model, overlap: bool = True, max_fg: int = 128, **kw):
+        super().__init__(model, **kw)
+        self.overlap = overlap
+        self.max_fg = max_fg
+        self.nm = model.head.nm
+
+    def __call__(self, outs, targets):
+        feats, coeffs, protos = outs  # (B,A,nm), (B,hm,wm,nm)
+        p = self._detect_parts(feats, targets)
+        b = p["b"]
+        hm, wm = protos.shape[1:3]
+        imgsz_h = feats[0].shape[1] * int(self.strides[0])
+        imgsz_w = feats[0].shape[2] * int(self.strides[0])
+
+        # top-K fg anchors per image by assigned score
+        k = min(self.max_fg, p["fg_mask"].shape[1])
+        score = p["weight"]  # (B, A)
+        top_scores, top_idx = jax.lax.top_k(score, k)  # (B, K)
+        sel_valid = top_scores > 0
+        sel_coeffs = jnp.take_along_axis(coeffs.astype(jnp.float32), top_idx[..., None], axis=1)  # (B,K,nm)
+        sel_gt_idx = jnp.take_along_axis(p["t_gt_idx"], top_idx, axis=1)  # (B,K)
+        sel_boxes = jnp.take_along_axis(p["t_bboxes"], top_idx[..., None], axis=1)  # (B,K,4) pixels
+
+        # predicted mask logits (B,K,hm,wm)
+        pm = jnp.einsum("bkn,bhwn->bkhw", sel_coeffs, protos.astype(jnp.float32))
+        # GT masks from the overlap index mask: pixel == gt_idx + 1
+        om = targets["masks"].astype(jnp.int32)  # (B, hm', wm') — mask_ratio-downsampled
+        if om.shape[1:] != (hm, wm):
+            om_f = jax.image.resize(om.astype(jnp.float32), (b, hm, wm), method="nearest")
+            om = om_f.astype(jnp.int32)
+        gt_m = (om[:, None, :, :] == (sel_gt_idx[:, :, None, None] + 1)).astype(jnp.float32)
+
+        bce = bce_with_logits(pm, gt_m)  # (B,K,hm,wm)
+        from drone_yolo_tpu.ops.masks import crop_mask
+
+        scale = jnp.asarray([wm / imgsz_w, hm / imgsz_h, wm / imgsz_w, hm / imgsz_h], jnp.float32)
+        mboxes = sel_boxes * scale
+        bce = jax.vmap(crop_mask)(bce, mboxes)
+        # normalize per anchor by box area in mask space (reference single_mask_loss)
+        area = jnp.maximum((mboxes[..., 2] - mboxes[..., 0]) * (mboxes[..., 3] - mboxes[..., 1]), 1.0)
+        per_anchor = jnp.sum(bce, axis=(2, 3)) / area  # (B,K)
+        n_fg = jnp.maximum(jnp.sum(sel_valid.astype(jnp.float32)), 1.0)
+        loss_seg = jnp.sum(per_anchor * sel_valid) / n_fg
+
+        items = jnp.stack(
+            [
+                p["loss_box"] * self.gains["box"],
+                loss_seg * self.gains["box"],
+                p["loss_cls"] * self.gains["cls"],
+                p["loss_dfl"] * self.gains["dfl"],
+            ]
+        )
+        return jnp.sum(items) * b, jax.lax.stop_gradient(items)
+
+
+# COCO-17 keypoint sigmas (reference loss.py OKS_SIGMA)
+OKS_SIGMA = (
+    jnp.asarray([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89])
+    / 10.0
+)
+
+
+class v8PoseLoss(v8DetectionLoss):
+    """Detection losses + OKS-like keypoint location loss + visibility BCE
+    (reference loss.py v8PoseLoss + KeypointLoss:140)."""
+
+    def __init__(self, model, pose_gain: float = 12.0, kobj_gain: float = 1.0, max_fg: int = 128, **kw):
+        super().__init__(model, **kw)
+        self.kpt_shape = model.head.kpt_shape
+        self.pose_gain = pose_gain
+        self.kobj_gain = kobj_gain
+        self.max_fg = max_fg
+        nk = self.kpt_shape[0]
+        self.sigmas = OKS_SIGMA if nk == 17 else jnp.ones(nk) / nk
+
+    def __call__(self, outs, targets):
+        feats, pred_kpts_raw = outs  # (B, A, nk*nd)
+        p = self._detect_parts(feats, targets)
+        b = p["b"]
+        nk, nd = self.kpt_shape
+        a = pred_kpts_raw.shape[1]
+        anchor_points = p["anchor_points"]
+        stride_tensor = p["stride_tensor"]
+
+        kr = pred_kpts_raw.astype(jnp.float32).reshape(b, a, nk, nd)
+        # decode to pixel space (reference kpts_decode: 2*pred + anchor - 0.5, x stride)
+        kxy = (kr[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_tensor[None, :, None, :]
+
+        k = min(self.max_fg, a)
+        score = p["weight"]
+        top_scores, top_idx = jax.lax.top_k(score, k)
+        sel_valid = (top_scores > 0).astype(jnp.float32)
+        sel_w = jnp.take_along_axis(score, top_idx, axis=1) * sel_valid
+        sel_kxy = jnp.take_along_axis(kxy, top_idx[:, :, None, None], axis=1)  # (B,K,nk,2)
+        sel_kconf = (
+            jnp.take_along_axis(kr[..., 2], top_idx[:, :, None], axis=1) if nd == 3 else None
+        )
+        sel_gt_idx = jnp.take_along_axis(p["t_gt_idx"], top_idx, axis=1)
+        sel_boxes = jnp.take_along_axis(p["t_bboxes"], top_idx[..., None], axis=1)  # pixels
+
+        gt_kpts = targets["keypoints"].astype(jnp.float32)  # (B, M, nk, 3) pixel + vis
+        sel_gt_kpts = jnp.take_along_axis(gt_kpts, sel_gt_idx[:, :, None, None], axis=1)  # (B,K,nk,3)
+
+        kpt_mask = (sel_gt_kpts[..., 2] > 0).astype(jnp.float32)  # (B,K,nk)
+        area = jnp.maximum(
+            (sel_boxes[..., 2] - sel_boxes[..., 0]) * (sel_boxes[..., 3] - sel_boxes[..., 1]), 1e-9
+        )[..., None]
+        d2 = jnp.sum((sel_kxy - sel_gt_kpts[..., :2]) ** 2, axis=-1)  # (B,K,nk)
+        kpt_loss_factor = nk / jnp.maximum(jnp.sum(kpt_mask, axis=-1, keepdims=True), 1.0)
+        e = d2 / ((2 * self.sigmas[None, None, :]) ** 2) / (area * 2) / 2
+        oks_loss = kpt_loss_factor * (1.0 - jnp.exp(-e)) * kpt_mask  # (B,K,nk)
+        n_fg = jnp.maximum(jnp.sum(sel_valid), 1.0)
+        loss_kpt = jnp.sum(jnp.mean(oks_loss, axis=-1) * sel_valid) / n_fg
+
+        if sel_kconf is not None:
+            kobj = bce_with_logits(sel_kconf, kpt_mask)
+            loss_kobj = jnp.sum(jnp.mean(kobj, axis=-1) * sel_valid) / n_fg
+        else:
+            loss_kobj = jnp.zeros(())
+
+        items = jnp.stack(
+            [
+                p["loss_box"] * self.gains["box"],
+                loss_kpt * self.pose_gain,
+                loss_kobj * self.kobj_gain,
+                p["loss_cls"] * self.gains["cls"],
+                p["loss_dfl"] * self.gains["dfl"],
+            ]
+        )
+        return jnp.sum(items) * b, jax.lax.stop_gradient(items)
+
+
+class v8OBBLoss(v8DetectionLoss):
+    """Oriented-box loss: probiou + DFL on rotated targets (reference loss.py v8OBBLoss)."""
+
+    def __init__(self, model, **kw):
+        super().__init__(model, **kw)
+        from drone_yolo_tpu.utils.tal import RotatedTaskAlignedAssigner
+
+        self.assigner = RotatedTaskAlignedAssigner(topk=10, num_classes=self.nc, alpha=0.5, beta=6.0)
+
+    def __call__(self, outs, targets):
+        from drone_yolo_tpu.ops.anchors import dist2rbox
+        from drone_yolo_tpu.ops.boxes import probiou
+
+        feats, pred_angle = outs  # angle (B, A, 1) already in radians
+        b = feats[0].shape[0]
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        a = pred_distri.shape[1]
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ jnp.arange(
+            self.reg_max, dtype=jnp.float32
+        )
+        pred_rboxes = dist2rbox(dist, pred_angle.astype(jnp.float32), anchor_points[None])  # grid units
+
+        gt_labels = targets["cls"].astype(jnp.int32)
+        gt_rboxes = targets["rboxes"].astype(jnp.float32) * targets["mask"].astype(jnp.float32)[..., None]
+        mask_gt = targets["mask"].astype(jnp.float32)
+        pred_rboxes_px = jnp.concatenate(
+            [pred_rboxes[..., :4] * stride_tensor[None], pred_rboxes[..., 4:]], axis=-1
+        )
+        _, t_rboxes, t_scores, fg_mask, _ = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_rboxes_px),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_rboxes,
+            mask_gt,
+        )
+        tss = jnp.maximum(jnp.sum(t_scores), 1.0)
+        loss_cls = jnp.sum(bce_with_logits(pred_scores, t_scores)) / tss
+
+        t_rboxes_g = jnp.concatenate([t_rboxes[..., :4] / stride_tensor[None], t_rboxes[..., 4:]], axis=-1)
+        weight = jnp.sum(t_scores, axis=-1) * fg_mask
+        iou = probiou(pred_rboxes, t_rboxes_g)
+        loss_box = jnp.sum((1.0 - iou) * weight) / tss
+
+        # DFL on the axis-aligned extent of the rotated target (reference
+        # RotatedBboxLoss: bbox2dist over xywh2xyxy of the rbox)
+        cxcy, wh = t_rboxes_g[..., :2], t_rboxes_g[..., 2:4]
+        t_xyxy = jnp.concatenate([cxcy - wh / 2, cxcy + wh / 2], axis=-1)
+        t_ltrb = bbox2dist(anchor_points[None], t_xyxy, self.reg_max - 1)
+        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), t_ltrb, self.reg_max)[..., 0]
+        loss_dfl = jnp.sum(dfl_elem * weight) / tss
+
+        items = jnp.stack(
+            [loss_box * self.gains["box"], loss_cls * self.gains["cls"], loss_dfl * self.gains["dfl"]]
+        )
+        return jnp.sum(items) * b, jax.lax.stop_gradient(items)
+
+
+class v8ClassificationLoss:
+    """Cross-entropy classification loss (reference loss.py v8ClassificationLoss)."""
+
+    def __call__(self, preds, targets):
+        logits = preds.astype(jnp.float32)
+        labels = targets["cls"].astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        loss = jnp.mean(nll)
+        return loss, jax.lax.stop_gradient(loss[None])

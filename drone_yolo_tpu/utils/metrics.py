@@ -233,6 +233,118 @@ class DetMetrics(SimpleClass):
         return dict(zip(self.keys + ["fitness"], self.mean_results() + [self.fitness]))
 
 
+def kpt_iou(gt_kpts, pred_kpts, area, sigmas, eps: float = 1e-7):
+    """OKS between GT and predicted keypoints (reference metrics.py:156 kpt_iou).
+
+    gt_kpts: (M, K, 3); pred_kpts: (N, K, 2|3); area: (M,) GT box areas.
+    Returns (M, N).
+    """
+    d = (gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 + (
+        gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]
+    ) ** 2  # (M, N, K)
+    sigmas = np.asarray(sigmas)
+    kpt_mask = gt_kpts[..., 2] != 0  # (M, K)
+    e = d / ((2 * sigmas) ** 2)[None, None, :] / (area[:, None, None] + eps) / 2
+    oks = np.exp(-e) * kpt_mask[:, None, :]
+    return oks.sum(-1) / (kpt_mask.sum(-1)[:, None] + eps)
+
+
+class SegmentMetrics(DetMetrics):
+    """Box + mask AP aggregator (reference metrics.py:896)."""
+
+    def __init__(self, names=None):
+        super().__init__(names)
+        self.seg = Metric()
+        self.task = "segment"
+
+    def process(self, tp, tp_m, conf, pred_cls, target_cls):
+        super().process(tp, conf, pred_cls, target_cls)
+        results_m = ap_per_class(np.asarray(tp_m), np.asarray(conf), np.asarray(pred_cls), np.asarray(target_cls))
+        self.seg.nc = len(self.names)
+        self.seg.update(results_m)
+
+    @property
+    def keys(self):
+        return [
+            "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)",
+            "metrics/precision(M)", "metrics/recall(M)", "metrics/mAP50(M)", "metrics/mAP50-95(M)",
+        ]
+
+    def mean_results(self):
+        return self.box.mean_results() + self.seg.mean_results()
+
+    @property
+    def fitness(self):
+        return self.box.fitness() + self.seg.fitness()
+
+
+class PoseMetrics(DetMetrics):
+    """Box + pose-OKS AP aggregator (reference metrics.py:990)."""
+
+    def __init__(self, names=None):
+        super().__init__(names)
+        self.pose = Metric()
+        self.task = "pose"
+
+    def process(self, tp, tp_p, conf, pred_cls, target_cls):
+        super().process(tp, conf, pred_cls, target_cls)
+        results_p = ap_per_class(np.asarray(tp_p), np.asarray(conf), np.asarray(pred_cls), np.asarray(target_cls))
+        self.pose.nc = len(self.names)
+        self.pose.update(results_p)
+
+    @property
+    def keys(self):
+        return [
+            "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)",
+            "metrics/precision(P)", "metrics/recall(P)", "metrics/mAP50(P)", "metrics/mAP50-95(P)",
+        ]
+
+    def mean_results(self):
+        return self.box.mean_results() + self.pose.mean_results()
+
+    @property
+    def fitness(self):
+        return self.box.fitness() + self.pose.fitness()
+
+
+class OBBMetrics(DetMetrics):
+    """Rotated-box AP aggregator (reference metrics.py:1178)."""
+
+    def __init__(self, names=None):
+        super().__init__(names)
+        self.task = "obb"
+
+
+class ClassifyMetrics(SimpleClass):
+    """Top-1/top-5 accuracy (reference metrics.py:1223)."""
+
+    def __init__(self):
+        self.top1 = 0.0
+        self.top5 = 0.0
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+        self.task = "classify"
+
+    def process(self, targets, preds):
+        """targets: (N,) int; preds: (N, 5) top-5 class indices."""
+        targets = np.asarray(targets)
+        preds = np.asarray(preds)
+        correct = preds == targets[:, None]
+        self.top1 = float(correct[:, 0].mean()) if len(targets) else 0.0
+        self.top5 = float(correct.any(1).mean()) if len(targets) else 0.0
+
+    @property
+    def fitness(self):
+        return (self.top1 + self.top5) / 2
+
+    @property
+    def keys(self):
+        return ["metrics/accuracy_top1", "metrics/accuracy_top5"]
+
+    @property
+    def results_dict(self):
+        return dict(zip(self.keys + ["fitness"], [self.top1, self.top5, self.fitness]))
+
+
 class ConfusionMatrix(SimpleClass):
     """Detection confusion matrix (reference metrics.py:294)."""
 

@@ -106,3 +106,75 @@ class TaskAlignedAssigner:
             topk=self.topk, num_classes=self.num_classes, alpha=self.alpha, beta=self.beta,
             eps=self.eps,
         )
+
+
+def select_candidates_in_rotated_gts(xy_centers, gt_rboxes, eps: float = 1e-9):
+    """(A, 2) anchor centers inside (B, M, 5) rotated GT boxes -> (B, M, A) bool.
+
+    Reference: tal.py:298 RotatedTaskAlignedAssigner.select_candidates_in_gts —
+    point-in-rotated-rect via projections onto the box axes.
+    """
+    cx, cy, w, h, r = (gt_rboxes[..., i] for i in range(5))
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    dx = xy_centers[None, None, :, 0] - cx[..., None]  # (B, M, A)
+    dy = xy_centers[None, None, :, 1] - cy[..., None]
+    # rotate the offset into the box frame
+    u = dx * cos[..., None] + dy * sin[..., None]
+    v = -dx * sin[..., None] + dy * cos[..., None]
+    return (jnp.abs(u) < w[..., None] / 2 - eps) & (jnp.abs(v) < h[..., None] / 2 - eps)
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def assign_rotated(
+    pd_scores, pd_rboxes, anc_points, gt_labels, gt_rboxes, mask_gt,
+    topk: int = 10, num_classes: int = 80, alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
+):
+    """Rotated-box task-aligned assignment (probiou metric).
+
+    Same contract as `assign` but boxes are (cx, cy, w, h, angle)."""
+    from drone_yolo_tpu.ops.boxes import probiou
+
+    b, a, nc = pd_scores.shape
+    m = gt_rboxes.shape[1]
+    mask_gt = mask_gt.astype(bool).reshape(b, m)
+
+    mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_rboxes)
+    gl = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
+    scores_t = jnp.swapaxes(pd_scores, 1, 2)
+    bov = jnp.take_along_axis(scores_t, gl[:, :, None], axis=1)
+    overlaps = jnp.clip(probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0, None)
+    valid = mask_in_gts & mask_gt[:, :, None]
+    align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
+
+    kth = jax.lax.top_k(align, topk)[0][..., -1:]
+    mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
+    mask_pos = mask_topk & valid
+
+    fg_mask = jnp.any(mask_pos, axis=1)
+    ov_masked = jnp.where(mask_pos, overlaps, -1.0)
+    target_gt_idx = jnp.argmax(ov_masked, axis=1)
+    onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=align.dtype)
+    mask_pos = (onehot_gt > 0) & fg_mask[:, None, :] & mask_pos
+
+    target_labels = jnp.take_along_axis(gl, target_gt_idx, axis=1)
+    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[:, :, None], axis=1)
+
+    align_pos = jnp.where(mask_pos, align, 0.0)
+    pos_align_max = jnp.max(align_pos, axis=-1, keepdims=True)
+    pos_overlap_max = jnp.max(jnp.where(mask_pos, overlaps, 0.0), axis=-1, keepdims=True)
+    norm_align = align_pos * pos_overlap_max / (pos_align_max + eps)
+    norm_metric = jnp.max(norm_align, axis=1)
+
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
+    target_scores = target_scores * (fg_mask[..., None] * norm_metric[..., None])
+    return target_labels, target_rboxes, target_scores, fg_mask, target_gt_idx
+
+
+class RotatedTaskAlignedAssigner(TaskAlignedAssigner):
+    """Rotated variant (reference tal.py:298)."""
+
+    def __call__(self, pd_scores, pd_rboxes, anc_points, gt_labels, gt_rboxes, mask_gt):
+        return assign_rotated(
+            pd_scores, pd_rboxes, anc_points, gt_labels, gt_rboxes, mask_gt,
+            topk=self.topk, num_classes=self.num_classes, alpha=self.alpha, beta=self.beta,
+        )
