@@ -77,6 +77,8 @@ class YOLO:
         if self.predictor is None or self.predictor.__class__ is not pred_cls:
             self.predictor = pred_cls(overrides=args)
             self.predictor.setup_model(self)
+            for event, fn in getattr(self, "_pending_tracker_callbacks", []):
+                self.predictor.add_callback(event, fn)
         else:
             self.predictor.args = get_cfg(self.predictor.args, kwargs)
         return self.predictor(source=source, stream=stream)
