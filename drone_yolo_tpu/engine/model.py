@@ -124,6 +124,46 @@ class YOLO:
             self.variables = self.trainer.best_vars
         return getattr(self.trainer, "metrics", None)
 
+    def tune(self, iterations: int = 10, **kwargs):
+        from drone_yolo_tpu.engine.tuner import Tuner
+
+        args = {**self.overrides, **kwargs}
+        return Tuner(args=args)(model=self, iterations=iterations)
+
+    def embed(self, source=None, layers=None, **kwargs):
+        """Return pooled feature embeddings from intermediate layers
+        (reference model.py embed mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from drone_yolo_tpu.nn import modules as M
+
+        layers = layers or [len(self.model.layers) - 2]
+        self.ensure_variables()
+        net = self.model
+
+        @jax.jit
+        def feat_fn(variables, x):
+            ctx = M.Ctx(train=False, dtype=jnp.float32)
+            y, out = [], x
+            feats = {}
+            for spec in net.layers:
+                f = spec.f
+                xin = out if f == -1 else (y[f] if isinstance(f, int) else [out if j == -1 else y[j] for j in f])
+                out = spec.module(variables.get(str(spec.i), {}), xin, ctx)
+                y.append(out if spec.i in net.save else None)
+                if spec.i in layers and not isinstance(out, (list, tuple)):
+                    feats[spec.i] = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+            return feats
+
+        from drone_yolo_tpu.ops.letterbox import letterbox_np
+        import numpy as np
+
+        imgs = source if isinstance(source, list) else [source]
+        processed = [letterbox_np(im, (self.overrides.get("imgsz", 640),) * 2)[0][:, :, ::-1] for im in imgs]
+        x = jnp.asarray(np.stack(processed).astype(np.float32) / 255.0)
+        return feat_fn(self.variables, x)
+
     def export(self, **kwargs):
         from drone_yolo_tpu.engine.exporter import Exporter
 

