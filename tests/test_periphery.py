@@ -1,0 +1,129 @@
+"""Solutions, apps, exporter, tuner-space, autobatch, CLI tests."""
+
+import numpy as np
+import pytest
+
+
+def test_geo_roundtrip():
+    from drone_yolo_tpu.apps.geo import GeoConverter, latlon_to_utm, utm_to_latlon
+
+    for lat, lon in [(39.9, 116.4), (-33.86, 151.2), (51.5, -0.12)]:
+        e, n, z, h = latlon_to_utm(lat, lon)
+        lat2, lon2 = utm_to_latlon(e, n, z, h)
+        assert abs(lat - lat2) < 1e-7 and abs(lon - lon2) < 1e-7
+
+    g = GeoConverter(lat=39.9, lon=116.4, altitude_m=100, image_width_px=1920, image_height_px=1080)
+    # 100 px east at nadir ~ 100 * gsd meters
+    e0, n0 = g.pixel_to_utm(960, 540)
+    e1, n1 = g.pixel_to_utm(1060, 540)
+    assert abs((e1 - e0) - 100 * g.gsd) < 1e-6
+
+
+def test_trajectory_statistics():
+    from drone_yolo_tpu.apps.analytics import confidence_statistics, trajectory_statistics
+
+    rows = []
+    for t in range(20):  # straight mover: 2 px/frame
+        rows.append([t, 1, 10 + 2 * t, 50, 0.9, 0])
+    for t in range(20):  # zigzag
+        rows.append([t, 2, 100 + (t % 2) * 4, 100 + t, 0.7, 0])
+    stats = trajectory_statistics(rows, fps=10, meters_per_pixel=0.5)
+    assert abs(stats[1]["mean_speed"] - 2 * 0.5 * 10) < 1e-6
+    assert stats[1]["straightness"] > 0.99
+    assert stats[2]["straightness"] < 0.99
+    cs = confidence_statistics(rows)
+    assert 0.7 <= cs["mean"] <= 0.9
+
+
+def test_kde_density():
+    from drone_yolo_tpu.apps.analytics import kde_density
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.normal(0, 1, (200, 2)), rng.normal(8, 1, (50, 2))])
+    dens, extent = kde_density(pts, grid_shape=(50, 50))
+    assert dens.shape == (50, 50)
+    assert np.isfinite(dens).all() and dens.max() > 0
+
+
+def test_object_counter_line_crossing(monkeypatch):
+    from drone_yolo_tpu.solutions.object_counter import ObjectCounter
+
+    class FakeModel:
+        names = {0: "person"}
+
+        def track(self, source, **kw):
+            return [self._r]
+
+    fake = FakeModel()
+    oc = ObjectCounter(model=fake, region=[(0, 50), (100, 50)])
+
+    class R:  # minimal Results stand-in
+        def __init__(self, y):
+            from drone_yolo_tpu.engine.results import Boxes
+
+            self.boxes = Boxes(np.array([[10, y - 5, 20, y + 5, 7, 0.9, 0]], np.float32), (100, 100))
+            self.orig_img = np.zeros((100, 100, 3), np.uint8)
+
+    for y in (30, 45, 60, 75):  # crosses the line at y=50
+        fake._r = R(y)
+        out = oc.process(np.zeros((100, 100, 3), np.uint8))
+    assert oc.in_count + oc.out_count == 1
+    assert out["classwise"]["person"]["IN"] + out["classwise"]["person"]["OUT"] == 1
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    import jax
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.engine.exporter import load_stablehlo
+
+    m = YOLO("yolov8n.yaml")
+    path = m.export(format="stablehlo", imgsz=64, batch=1, project=str(tmp_path), nms=False)
+    fn, meta = load_stablehlo(path)
+    x = np.random.default_rng(0).random((1, 64, 64, 3), np.float32)
+    v = m.model.fuse(m.variables)
+    out = fn(v, x)
+    preds = np.asarray(out)
+    assert preds.shape[0] == 1 and preds.shape[2] == 84
+    # matches the live jit path
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.nn import modules as M
+
+    live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    np.testing.assert_allclose(preds, np.asarray(live), rtol=2e-2, atol=1e-3)
+
+
+def test_autobatch():
+    import jax
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.utils.autobatch import check_train_batch_size
+
+    def builder(b):
+        @jax.jit
+        def f(x):
+            return jnp.sum(x * 2.0)
+
+        return f, (jnp.zeros((b, 64, 64, 3)),)
+
+    best = check_train_batch_size(builder, candidates=(1, 2, 4))
+    assert best in (1, 2, 4)
+
+
+def test_cli_entrypoint_help(capsys):
+    from drone_yolo_tpu.cfg import entrypoint
+
+    entrypoint("yolo-tpu")  # no args -> usage
+    entrypoint("yolo-tpu version")
+
+
+def test_tuner_mutation_bounds():
+    from drone_yolo_tpu.engine.tuner import Tuner
+
+    t = Tuner(args={"task": "detect", "mode": "train"})
+    parent = {k: (lo + hi) / 2 for k, (lo, hi, *rest) in [(k, v) for k, v in t.space.items()]}
+    for _ in range(5):
+        g = t._mutate(parent)
+        for k, bounds in t.space.items():
+            assert bounds[0] <= g[k] <= bounds[1]
