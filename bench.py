@@ -30,10 +30,10 @@ def main():
     from drone_yolo_tpu.nn.model import DetectionModel
     from drone_yolo_tpu.ops.nms import non_max_suppression
 
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
     model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
 
     model = DetectionModel(model_name)
     variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
@@ -41,7 +41,7 @@ def main():
     @jax.jit
     def fn(variables, x):
         preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
-        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=1024)
+        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=512)
 
     x = jnp.asarray(np.random.default_rng(0).random((batch, imgsz, imgsz, 3), np.float32))
     variables = jax.device_put(variables)

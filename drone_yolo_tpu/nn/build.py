@@ -34,6 +34,13 @@ REGISTRY = {
     "C2": M.C2,
     "C2f": M.C2f,
     "C3": M.C3,
+    "C3k": M.C3k,
+    "C3k2": M.C3k2,
+    "C2PSA": M.C2PSA,
+    "PSA": M.PSA,
+    "PSABlock": M.PSABlock,
+    "SCDown": M.SCDown,
+    "RepVGGDW": M.RepVGGDW,
     "SPP": M.SPP,
     "SPPF": M.SPPF,
     "RepVGGBlock": M.RepVGGBlock,
@@ -51,10 +58,10 @@ REGISTRY = {
 # (base_modules), plus RepVGGBlock (the defect fix).
 BASE_MODULES = {
     M.Conv, M.DWConv, M.Focus, M.GhostConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
-    M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
+    M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3}
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA}
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
 
 
@@ -130,6 +137,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
 
     ch_list = [ch]
     layers, save = [], []
+    legacy = True  # v8-style head cls branch; C3k2 (v11) flips to the DWConv variant
     for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
         cls = REGISTRY.get(mname)
         if cls is None:
@@ -160,6 +168,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             if cls in REPEAT_MODULES:
                 args.insert(2, n_scaled)
                 n_scaled = 1
+            if cls is M.C3k2:  # reference tasks.py:1035-1039
+                legacy = False
+                if scale in "mlx":
+                    if len(args) > 3:
+                        args[3] = True
+                    else:
+                        args.append(True)
         elif cls is M.Concat:
             c2 = sum(ch_list[x] for x in f)
         elif cls in HEAD_MODULES:
@@ -168,8 +183,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 # args = [nc, nm, npr]; npr is width-scaled (tasks.py:1061)
                 if len(args) > 2:
                     args[2] = make_divisible(min(args[2], max_channels) * width, 8)
-            kwargs = {"ch": in_ch}
-            module = cls(*args, **kwargs)
+            module = cls(*args, ch=in_ch, legacy=legacy)
             c2 = None
         else:  # Upsample and other shape-preserving modules
             c2 = ch_list[f] if isinstance(f, int) else ch_list[f[-1]]

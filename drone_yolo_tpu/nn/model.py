@@ -130,9 +130,33 @@ class BaseModel:
     def param_count(self, variables) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables))
 
-    def info(self, variables=None):
+    def flops(self, variables, imgsz: int = 640) -> float:
+        """Forward GFLOPs from XLA cost analysis (replaces the reference's thop
+        profiling, utils/torch_utils.py:303 get_flops)."""
+        import jax.numpy as jnp
+
+        from drone_yolo_tpu.nn import modules as M
+
+        def fwd(v, x):
+            out = self.apply(v, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+            return out[0] if isinstance(out, tuple) else out
+
+        x = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        try:
+            analysis = jax.jit(fwd).lower(variables, x).cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            return float(analysis.get("flops", 0.0)) / 1e9
+        except Exception:  # noqa: BLE001 - cost analysis is backend-dependent
+            return 0.0
+
+    def info(self, variables=None, imgsz: int = 640, flops: bool = False):
         n = self.param_count(variables) if variables is not None else -1
-        LOGGER.info(f"{self.__class__.__name__}: {len(self.layers)} layers, {n:,} parameters, task={self.task}")
+        msg = f"{self.__class__.__name__}: {len(self.layers)} layers, {n:,} parameters, task={self.task}"
+        if flops and variables is not None:
+            msg += f", {self.flops(variables, imgsz):.1f} GFLOPs@{imgsz}"
+        LOGGER.info(msg)
+        return msg
 
 
 class DetectionModel(BaseModel):

@@ -430,6 +430,137 @@ class SPP(Module):
         return self.cv2(v["cv2"], jnp.concatenate(ys, axis=-1), ctx)
 
 
+class C3k(C3):
+    """C3 with configurable bottleneck kernel (reference block.py:738, v11)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [Bottleneck(c_, c_, shortcut, g, k=(k, k), e=1.0) for _ in range(n)]
+
+
+class C3k2(C2f):
+    """Faster CSP with optional C3k blocks (reference block.py:727, the v11 workhorse)."""
+
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        self.m = [
+            C3k(self.c, self.c, 2, shortcut, g) if c3k else Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=0.5)
+            for _ in range(n)
+        ]
+
+
+class Attention(Module):
+    """Multi-head self-attention over spatial positions with positional conv
+    (reference block.py:870, v10/v11 PSA attention)."""
+
+    def __init__(self, dim, num_heads=8, attn_ratio=0.5):
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.key_dim = int(self.head_dim * attn_ratio)
+        self.scale = self.key_dim**-0.5
+        nh_kd = self.key_dim * num_heads
+        h = dim + nh_kd * 2
+        self.qkv = Conv(dim, h, 1, act=False)
+        self.proj = Conv(dim, dim, 1, act=False)
+        self.pe = Conv(dim, dim, 3, 1, g=dim, act=False)
+        self.dim = dim
+
+    def __call__(self, v, x, ctx: Ctx):
+        b, hh, ww, c = x.shape
+        n = hh * ww
+        qkv = self.qkv(v["qkv"], x, ctx).reshape(b, n, self.num_heads, self.key_dim * 2 + self.head_dim)
+        q, k, vv = jnp.split(qkv, [self.key_dim, self.key_dim * 2], axis=-1)
+        attn = jnp.einsum("bnhk,bmhk->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)) * self.scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(ctx.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vv).reshape(b, hh, ww, c)
+        pe = self.pe(v["pe"], vv.reshape(b, hh, ww, c), ctx)
+        return self.proj(v["proj"], out + pe, ctx)
+
+
+class PSABlock(Module):
+    """Attention + MLP residual block (reference block.py:926)."""
+
+    def __init__(self, c, attn_ratio=0.5, num_heads=4, shortcut=True):
+        self.attn = Attention(c, num_heads=num_heads, attn_ratio=attn_ratio)
+        self.ffn = _Seq(Conv(c, c * 2, 1), Conv(c * 2, c, 1, act=False))
+        self.add = shortcut
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.attn(v["attn"], x, ctx)
+        x = x + y if self.add else y
+        y = self.ffn(v["ffn"], x, ctx)
+        return x + y if self.add else y
+
+
+class PSA(Module):
+    """Partial self-attention (reference block.py:963, v10)."""
+
+    def __init__(self, c1, c2, e=0.5):
+        assert c1 == c2
+        self.c = int(c1 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv(2 * self.c, c1, 1)
+        self.m = [PSABlock(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1))]
+
+    def __call__(self, v, x, ctx: Ctx):
+        a, b = jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1)
+        b = self.m[0](v["m"]["0"], b, ctx)
+        return self.cv2(v["cv2"], jnp.concatenate([a, b], axis=-1), ctx)
+
+
+class C2PSA(Module):
+    """CSP wrapper around stacked PSABlocks (reference block.py:1006, v11)."""
+
+    def __init__(self, c1, c2, n=1, e=0.5):
+        assert c1 == c2
+        self.c = int(c1 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv(2 * self.c, c1, 1)
+        self.m = [PSABlock(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1)) for _ in range(n)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        a, b = jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1)
+        for i, m in enumerate(self.m):
+            b = m(v["m"][str(i)], b, ctx)
+        return self.cv2(v["cv2"], jnp.concatenate([a, b], axis=-1), ctx)
+
+
+class SCDown(Module):
+    """Separable-conv downsample (reference block.py:1080, v10)."""
+
+    def __init__(self, c1, c2, k=3, s=2):
+        self.cv1 = Conv(c1, c2, 1, 1)
+        self.cv2 = Conv(c2, c2, k=k, s=s, g=c2, act=False)
+
+    def __call__(self, v, x, ctx: Ctx):
+        return self.cv2(v["cv2"], self.cv1(v["cv1"], x, ctx), ctx)
+
+
+class RepVGGDW(Module):
+    """Depthwise RepVGG block (reference block.py:749, v10): 7x7 DW + 3x3 DW
+    branches fused to one 7x7 DW at deploy."""
+
+    def __init__(self, c):
+        self.c = c
+        self.conv = DWConv(c, c, 7, 1, act=False)
+        self.conv1 = DWConv(c, c, 3, 1, act=False)
+
+    def __call__(self, v, x, ctx: Ctx):
+        if "kernel" in v:
+            y = conv2d(x.astype(ctx.dtype), v["kernel"], 1, 3, 1, self.c) + v["bias"]
+            return silu(y.astype(ctx.dtype))
+        return silu(self.conv(v["conv"], x, ctx) + self.conv1(v["conv1"], x, ctx))
+
+    def fuse_vars(self, v):
+        if "kernel" in v:
+            return v
+        w7, b7 = _bn_fold(v["conv"]["bn"], v["conv"]["conv"]["kernel"])
+        w3, b3 = _bn_fold(v["conv1"]["bn"], v["conv1"]["conv"]["kernel"])
+        w3 = jnp.pad(w3, ((2, 2), (2, 2), (0, 0), (0, 0)))
+        return {"kernel": w7 + w3, "bias": b7 + b3}
+
+
 # ---------------------------------------------------------------------------
 # RepVGG (the Drone-YOLO backbone downsampler) — reference block.py:1393-1492
 # ---------------------------------------------------------------------------
@@ -536,8 +667,9 @@ class Detect(Module):
         if legacy:
             self.cv3 = [_Seq(Conv(x, c3, 3), Conv(c3, c3, 3), Conv2dRaw(c3, nc, 1)) for x in ch]
         else:
+            # nested like the reference head.py:47 (Sequential of Sequentials)
             self.cv3 = [
-                _Seq(DWConv(x, x, 3), Conv(x, c3, 1), DWConv(c3, c3, 3), Conv(c3, c3, 1), Conv2dRaw(c3, nc, 1))
+                _Seq(_Seq(DWConv(x, x, 3), Conv(x, c3, 1)), _Seq(DWConv(c3, c3, 3), Conv(c3, c3, 1)), Conv2dRaw(c3, nc, 1))
                 for x in ch
             ]
 

@@ -42,11 +42,13 @@ def _ours_from_ref(yaml_path, ref_m):
     return ours, variables
 
 
-@pytest.mark.parametrize("name", ["yolov8n.yaml", "yolov8n-p2.yaml"])
+@pytest.mark.parametrize(
+    "name", ["v8/yolov8.yaml", "v8/yolov8-p2.yaml", "v5/yolov5.yaml", "11/yolo11.yaml"]
+)
 def test_forward_parity(name):
     import torch
 
-    yaml_path = f"{CFG_DIR}/{name.replace('8n', '8')}"
+    yaml_path = f"{CFG_DIR}/../{name}"
     ref_m = _ref_model(yaml_path)
     ours, variables = _ours_from_ref(yaml_path, ref_m)
 
