@@ -202,8 +202,31 @@ class BaseTrainer(CallbackMixin):
         use_adam = self.opt_name.lower().startswith("adam")
         weight_decay = self.weight_decay
         merge_bn = self.model.merge_bn_updates
+        base_imgsz = int(self.args.imgsz)
 
-        def step_fn(state, batch, lr_w, lr_b, mom):
+        # multi-scale buckets: a small static-size set so each size compiles once
+        # (reference resizes 0.5-1.5x per batch, detect/train.py:60 — dynamic
+        # shapes would force recompiles on TPU, so we bucket)
+        stride = int(max(self.model.stride))
+        if self.args.multi_scale:
+            raw = [base_imgsz * s for s in (0.67, 0.83, 1.0, 1.17, 1.33)]
+            self.scale_buckets = sorted({max(int(round(v / stride)) * stride, stride) for v in raw})
+        else:
+            self.scale_buckets = [base_imgsz]
+
+        def step_fn(state, batch, lr_w, lr_b, mom, target_sz):
+            img = batch["img"]
+            if img.shape[1] != target_sz:
+                b = img.shape[0]
+                scale = target_sz / img.shape[1]
+                img = jax.image.resize(img, (b, target_sz, target_sz, img.shape[3]), method="bilinear")
+                batch = {**batch, "img": img}
+                if "bboxes" in batch:
+                    batch["bboxes"] = batch["bboxes"] * scale
+                if "keypoints" in batch:
+                    kp = batch["keypoints"]
+                    batch["keypoints"] = jnp.concatenate([kp[..., :2] * scale, kp[..., 2:]], axis=-1)
+
             def loss_fn(params):
                 ctx = M.Ctx(train=True, dtype=dtype)
                 out = model.apply(params, batch["img"], ctx=ctx)
@@ -243,7 +266,7 @@ class BaseTrainer(CallbackMixin):
             }
             return new_state, loss, items
 
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz",))
 
     def preprocess_batch(self, batch):
         """uint8 HWC host batch -> sharded device arrays in [0, 1]."""
@@ -289,8 +312,9 @@ class BaseTrainer(CallbackMixin):
                 self.run_callbacks("on_train_batch_start")
                 lr_w, lr_b, mom = self._warmup_hyp(ni, epoch)
                 dev_batch = self.preprocess_batch(batch)
+                target_sz = self.scale_buckets[np.random.randint(len(self.scale_buckets))] if len(self.scale_buckets) > 1 else self.scale_buckets[0]
                 self.state, loss, items = self.train_step(
-                    self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom)
+                    self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom), target_sz=target_sz
                 )
                 items = np.asarray(items)
                 tloss = items if tloss is None else (tloss * i + items) / (i + 1)

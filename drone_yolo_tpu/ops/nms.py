@@ -66,6 +66,16 @@ def _greedy_keep(suppress_adj, valid):
     return keep
 
 
+def _use_pallas(k: int) -> bool:
+    """Pallas kernel only on real TPUs with lane-aligned K."""
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() in ("tpu", "axon") and k % 128 == 0
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -112,8 +122,10 @@ def non_max_suppression(
         scores = scores * jnp.asarray(classes, dtype=scores.dtype)[None, None, :]
 
     k = min(pre_topk, a * nc if multi_label else a)
+    pallas_ok = _use_pallas(k)
 
-    def single(boxes_i, scores_i, extra_i):
+    # --- phase 1: per-image candidate selection (vmapped) -------------------
+    def select(boxes_i, scores_i, extra_i):
         if multi_label:
             flat = scores_i.reshape(-1)  # (A*nc,)
             top_scores, top_idx = jax.lax.top_k(flat, k)
@@ -124,30 +136,41 @@ def non_max_suppression(
             cls_all = jnp.argmax(scores_i, axis=-1)
             top_scores, anchor_idx = jax.lax.top_k(per_anchor, k)
             cls_idx = cls_all[anchor_idx].astype(jnp.float32)
-
         cand_boxes = boxes_i[anchor_idx]  # (K, 4)
         cand_extra = extra_i[anchor_idx] if n_extra else jnp.zeros((k, 0), preds.dtype)
         valid = top_scores > conf_thres
-
         # Per-class offset trick (reference ops.py:306): boxes of different classes
         # never overlap after offsetting, so one dense NMS handles all classes.
         offset = jnp.zeros((k, 1), cand_boxes.dtype) if agnostic else (cls_idx[:, None] * max_wh).astype(cand_boxes.dtype)
-        iou = _iou_matrix(cand_boxes + offset)
-        upper = jnp.triu(jnp.ones((k, k), bool), 1)  # i < j in score order
-        adj = upper & (iou > iou_thres)
-        keep = _greedy_keep(adj, valid)
+        return cand_boxes, top_scores, cls_idx, cand_extra, valid, cand_boxes + offset
 
-        # Compact kept candidates (score order preserved) into max_det static slots.
-        order = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_det]
-        sel_valid = keep[order]
+    cand_boxes, top_scores, cls_idx, cand_extra, valid, off_boxes = jax.vmap(select)(boxes, scores, extra)
+
+    # --- phase 2: greedy suppression (pallas on TPU, XLA fixed-point else) ---
+    if pallas_ok:
+        from drone_yolo_tpu.ops.pallas_nms import pallas_greedy_keep
+
+        keep = pallas_greedy_keep(off_boxes, valid, iou_thres)
+    else:
+
+        def suppress(off_i, valid_i):
+            iou = _iou_matrix(off_i)
+            upper = jnp.triu(jnp.ones((k, k), bool), 1)  # i < j in score order
+            return _greedy_keep(upper & (iou > iou_thres), valid_i)
+
+        keep = jax.vmap(suppress)(off_boxes, valid)
+
+    # --- phase 3: compact kept candidates into max_det static slots ---------
+    def compact(keep_i, cand_boxes_i, top_scores_i, cls_i, extra_i):
+        order = jnp.argsort(jnp.logical_not(keep_i), stable=True)[:max_det]
+        sel_valid = keep_i[order]
         det = jnp.concatenate(
-            [cand_boxes[order], top_scores[order, None], cls_idx[order, None], cand_extra[order]],
-            axis=-1,
+            [cand_boxes_i[order], top_scores_i[order, None], cls_i[order, None], extra_i[order]], axis=-1
         )
         det = det * sel_valid[:, None].astype(det.dtype)
         return det, jnp.sum(sel_valid.astype(jnp.int32))
 
-    dets, n_valid = jax.vmap(single)(boxes, scores, extra)
+    dets, n_valid = jax.vmap(compact)(keep, cand_boxes, top_scores, cls_idx, cand_extra)
     return dets, n_valid
 
 
