@@ -100,9 +100,16 @@ class BasePredictor(CallbackMixin):
         nc = self.model.nc
         pre_topk = min(int(self.args.pre_nms_topk), 1024)
 
+        end2end = isinstance(getattr(self.model, "head", None), M.v10Detect)
+
         @jax.jit
         def fn(variables, x):
             preds, _ = self.model.apply(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
+            if end2end:  # NMS-free: preds are already (B, max_det, 6) sorted by score
+                dets = preds[:, :max_det]
+                n_valid = jnp.sum(dets[..., 4] > conf, axis=-1).astype(jnp.int32)
+                dets = dets * (dets[..., 4:5] > conf).astype(dets.dtype)
+                return dets, n_valid
             return non_max_suppression(
                 preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk,
                 nc=nc, multi_label=False, agnostic=agnostic, classes=cmask,

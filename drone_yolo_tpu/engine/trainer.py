@@ -119,6 +119,11 @@ class BaseTrainer(CallbackMixin):
         self.variables = facade.variables
 
     def get_criterion(self):
+        from drone_yolo_tpu.nn import modules as M_
+        from drone_yolo_tpu.utils.loss import E2EDetectLoss
+
+        if isinstance(self.model.head, M_.v10Detect):
+            return E2EDetectLoss(self.model, box=self.args.box, cls=self.args.cls, dfl=self.args.dfl)
         return v8DetectionLoss(self.model, box=self.args.box, cls=self.args.cls, dfl=self.args.dfl)
 
     def get_validator(self):

@@ -116,9 +116,16 @@ class BaseValidator(CallbackMixin):
         model = self.model
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
+        end2end = isinstance(getattr(model, "head", None), M.v10Detect)
+
         @jax.jit
         def fn(variables, x):
             preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))
+            if end2end:  # NMS-free head emits sorted (B, max_det, 6) directly
+                dets = preds[:, :max_det]
+                n_valid = jnp.sum(dets[..., 4] > conf, axis=-1).astype(jnp.int32)
+                dets = dets * (dets[..., 4:5] > conf).astype(dets.dtype)
+                return dets, n_valid
             return non_max_suppression(
                 preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk,
                 nc=nc, multi_label=True,

@@ -44,6 +44,18 @@ REGISTRY = {
     "SPP": M.SPP,
     "SPPF": M.SPPF,
     "RepVGGBlock": M.RepVGGBlock,
+    "RepConv": M.RepConv,
+    "RepCSP": M.RepCSP,
+    "RepNCSPELAN4": M.RepNCSPELAN4,
+    "ELAN1": M.ELAN1,
+    "AConv": M.AConv,
+    "ADown": M.ADown,
+    "SPPELAN": M.SPPELAN,
+    "CBLinear": M.CBLinear,
+    "CBFuse": M.CBFuse,
+    "CIB": M.CIB,
+    "C2fCIB": M.C2fCIB,
+    "v10Detect": M.v10Detect,
     "Concat": M.Concat,
     "nn.Upsample": M.Upsample,
     "Upsample": M.Upsample,
@@ -59,10 +71,12 @@ REGISTRY = {
 BASE_MODULES = {
     M.Conv, M.DWConv, M.Focus, M.GhostConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
+    M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
+    M.CIB, M.C2fCIB,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA}
-HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB}
+HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect}
 
 
 def make_divisible(x, divisor: int = 8) -> int:
@@ -177,6 +191,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                         args.append(True)
         elif cls is M.Concat:
             c2 = sum(ch_list[x] for x in f)
+        elif cls is M.CBLinear:
+            c2 = args[0]  # list of channel splits
+            args = [ch_list[f], *args]
+        elif cls is M.CBFuse:
+            c2 = ch_list[f[-1]]
         elif cls in HEAD_MODULES:
             in_ch = [ch_list[x] for x in f]
             if cls is M.Segment:

@@ -50,6 +50,8 @@ class BaseModel:
 
         def fwd(v, xx):
             out = self.apply(v, xx, train=True)
+            if isinstance(out, dict):  # v10 end-to-end head
+                return out["one2many"]
             return out[0] if isinstance(out, tuple) else out
 
         map_shapes = jax.eval_shape(fwd, var_shapes, x)

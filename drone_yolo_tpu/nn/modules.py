@@ -430,6 +430,207 @@ class SPP(Module):
         return self.cv2(v["cv2"], jnp.concatenate(ys, axis=-1), ctx)
 
 
+class RepConv(Module):
+    """RepVGG-style fusible 3x3 + 1x1 conv (reference conv.py:174). No identity
+    branch by default (bn=False upstream)."""
+
+    def __init__(self, c1, c2, k=3, s=1, p=1, g=1, d=1, act=True, bn=False):
+        assert k == 3 and p == 1
+        self.c1, self.c2, self.s, self.g = c1, c2, s, g
+        self.act = act
+        self.has_identity = bn and c2 == c1 and s == 1
+        self.conv1 = Conv(c1, c2, 3, s, p=p, g=g, act=False)
+        self.conv2 = Conv(c1, c2, 1, s, p=p - 3 // 2, g=g, act=False)
+
+    def init(self, key):
+        v = {"conv1": self.conv1.init(_child_key(key, "conv1")), "conv2": self.conv2.init(_child_key(key, "conv2"))}
+        if self.has_identity:
+            v["idbn"] = _bn_init(self.c1)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        if "kernel" in v:
+            y = conv2d(x, v["kernel"], self.s, 1, 1, self.g) + v["bias"]
+            y = y.astype(ctx.dtype)
+        else:
+            y = self.conv1(v["conv1"], x, ctx) + self.conv2(v["conv2"], x, ctx)
+            if self.has_identity:
+                y = y + _bn_apply(v["idbn"], x, ctx, f"{self.path}.idbn")
+        return silu(y) if self.act is True else y
+
+    def fuse_vars(self, v):
+        if "kernel" in v:
+            return v
+        w3, b3 = _bn_fold(v["conv1"]["bn"], v["conv1"]["conv"]["kernel"])
+        w1, b1 = _bn_fold(v["conv2"]["bn"], v["conv2"]["conv"]["kernel"])
+        w = w3 + jnp.pad(w1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        b = b3 + b1
+        if self.has_identity:
+            cin = self.c1 // self.g
+            ident = np.zeros((3, 3, cin, self.c2), np.float32)
+            for i in range(self.c2):
+                ident[1, 1, i % cin, i] = 1.0
+            wid, bid = _bn_fold(v["idbn"], jnp.asarray(ident))
+            w, b = w + wid, b + bid
+        return {"kernel": w, "bias": b}
+
+
+class RepBottleneck(Bottleneck):
+    """Bottleneck with a RepConv first conv (reference block.py RepNBottleneck)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        super().__init__(c1, c2, shortcut, g, k, e)
+        c_ = int(c2 * e)
+        self.cv1 = RepConv(c1, c_, k[0], 1)
+
+
+class RepCSP(C3):
+    """CSP with RepBottlenecks (reference block.py RepCSP)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [RepBottleneck(c_, c_, shortcut, g, e=1.0) for _ in range(n)]
+
+
+class RepNCSPELAN4(Module):
+    """CSP-ELAN (reference block.py:585, the v9 workhorse)."""
+
+    def __init__(self, c1, c2, c3, c4, n=1):
+        self.c = c3 // 2
+        self.cv1 = Conv(c1, c3, 1, 1)
+        self.cv2 = _Seq(RepCSP(c3 // 2, c4, n), Conv(c4, c4, 3, 1))
+        self.cv3 = _Seq(RepCSP(c4, c4, n), Conv(c4, c4, 3, 1))
+        self.cv4 = Conv(c3 + 2 * c4, c2, 1, 1)
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = list(jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1))
+        y.append(self.cv2(v["cv2"], y[-1], ctx))
+        y.append(self.cv3(v["cv3"], y[-1], ctx))
+        return self.cv4(v["cv4"], jnp.concatenate(y, axis=-1), ctx)
+
+
+class ELAN1(RepNCSPELAN4):
+    """Plain-conv ELAN (reference block.py:610)."""
+
+    def __init__(self, c1, c2, c3, c4):
+        self.c = c3 // 2
+        self.cv1 = Conv(c1, c3, 1, 1)
+        self.cv2 = Conv(c3 // 2, c4, 3, 1)
+        self.cv3 = Conv(c4, c4, 3, 1)
+        self.cv4 = Conv(c3 + 2 * c4, c2, 1, 1)
+
+
+def avg_pool2d_2x1(x):
+    """torch avg_pool2d(x, 2, 1, 0) equivalent: window 2, stride 1, no pad."""
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "VALID"
+    )
+    return (s / 4.0).astype(x.dtype)
+
+
+class AConv(Module):
+    """avg-pool + strided conv downsample (reference block.py:623, v9)."""
+
+    def __init__(self, c1, c2):
+        self.cv1 = Conv(c1, c2, 3, 2, 1)
+
+    def __call__(self, v, x, ctx: Ctx):
+        return self.cv1(v["cv1"], avg_pool2d_2x1(x), ctx)
+
+
+class ADown(Module):
+    """Dual-path downsample (reference block.py:637, v9)."""
+
+    def __init__(self, c1, c2):
+        self.c = c2 // 2
+        self.cv1 = Conv(c1 // 2, self.c, 3, 2, 1)
+        self.cv2 = Conv(c1 // 2, self.c, 1, 1, 0)
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = avg_pool2d_2x1(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        y1 = self.cv1(v["cv1"], x1, ctx)
+        y2 = self.cv2(v["cv2"], max_pool2d(x2, 3, 2, 1), ctx)
+        return jnp.concatenate([y1, y2], axis=-1)
+
+
+class SPPELAN(Module):
+    """SPP-ELAN (reference block.py:657, v9)."""
+
+    def __init__(self, c1, c2, c3, k=5):
+        self.c = c3
+        self.cv1 = Conv(c1, c3, 1, 1)
+        self.cv5 = Conv(4 * c3, c2, 1, 1)
+        self.k = k
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = [self.cv1(v["cv1"], x, ctx)]
+        for _ in range(3):
+            y.append(max_pool2d(y[-1], self.k, 1, self.k // 2))
+        return self.cv5(v["cv5"], jnp.concatenate(y, axis=-1), ctx)
+
+
+class CBLinear(Module):
+    """Linear projection split into multiple channel groups (reference block.py:677, v9-e)."""
+
+    def __init__(self, c1, c2s, k=1, s=1, p=None, g=1):
+        self.c2s = list(c2s)
+        self.conv = Conv2dRaw(c1, sum(c2s), k, s, p, g, bias=True)
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.conv(v["conv"], x, ctx)
+        splits = np.cumsum(self.c2s)[:-1].tolist()
+        return tuple(jnp.split(y, splits, axis=-1))
+
+
+class CBFuse(Module):
+    """Fuse multi-scale CBLinear outputs by upsampling + sum (reference block.py:691)."""
+
+    def __init__(self, idx):
+        self.idx = list(idx)
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, xs, ctx: Ctx):
+        target = xs[-1].shape[1:3]
+        outs = []
+        for i, x in enumerate(xs[:-1]):
+            xi = x[self.idx[i]] if isinstance(x, (tuple, list)) else x
+            b, h, w, c = xi.shape
+            outs.append(jax.image.resize(xi, (b, target[0], target[1], c), method="nearest"))
+        return sum(outs) + xs[-1]
+
+
+class CIB(Module):
+    """Conditional identity block (reference block.py:811, v10)."""
+
+    def __init__(self, c1, c2, shortcut=True, e=0.5, lk=False):
+        c_ = int(c2 * e)
+        self.cv1 = _Seq(
+            Conv(c1, c1, 3, g=c1),
+            Conv(c1, 2 * c_, 1),
+            RepVGGDW(2 * c_) if lk else Conv(2 * c_, 2 * c_, 3, g=2 * c_),
+            Conv(2 * c_, c2, 1),
+            Conv(c2, c2, 3, g=c2),
+        )
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv1(v["cv1"], x, ctx)
+        return x + y if self.add else y
+
+
+class C2fCIB(C2f):
+    """C2f with CIB bottlenecks (reference block.py:850, v10)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, lk=False, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        self.m = [CIB(self.c, self.c, shortcut, e=1.0, lk=lk) for _ in range(n)]
+
+
 class C3k(C3):
     """C3 with configurable bottleneck kernel (reference block.py:738, v11)."""
 
@@ -494,18 +695,21 @@ class PSABlock(Module):
 
 
 class PSA(Module):
-    """Partial self-attention (reference block.py:963, v10)."""
+    """Partial self-attention (reference block.py:963, v10): attn + ffn applied
+    to half the channels."""
 
     def __init__(self, c1, c2, e=0.5):
         assert c1 == c2
         self.c = int(c1 * e)
         self.cv1 = Conv(c1, 2 * self.c, 1, 1)
         self.cv2 = Conv(2 * self.c, c1, 1)
-        self.m = [PSABlock(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1))]
+        self.attn = Attention(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1))
+        self.ffn = _Seq(Conv(self.c, self.c * 2, 1), Conv(self.c * 2, self.c, 1, act=False))
 
     def __call__(self, v, x, ctx: Ctx):
         a, b = jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1)
-        b = self.m[0](v["m"]["0"], b, ctx)
+        b = b + self.attn(v["attn"], b, ctx)
+        b = b + self.ffn(v["ffn"], b, ctx)
         return self.cv2(v["cv2"], jnp.concatenate([a, b], axis=-1), ctx)
 
 
@@ -710,6 +914,68 @@ class Detect(Module):
         if ctx.train:
             return maps
         return self.decode(maps), maps
+
+
+class v10Detect(Detect):
+    """NMS-free end-to-end detection head (reference head.py:592, v10).
+
+    Dual heads: one2many (train-time auxiliary) + one2one (deployed). Inference
+    decodes the one2one maps and takes top max_det by score — no NMS. The
+    one2one branches consume stop-gradient features (reference forward_end2end
+    detaches x)."""
+
+    def __init__(self, nc=80, ch=(), legacy=False, reg_max=16):
+        super().__init__(nc, ch, legacy=True, reg_max=reg_max)  # cv2 same as Detect
+        self.max_det = 300
+        c3 = max(ch[0], min(nc, 100))
+        def make_cv3(x):
+            return _Seq(
+                _Seq(Conv(x, x, 3, g=x), Conv(x, c3, 1)),
+                _Seq(Conv(c3, c3, 3, g=c3), Conv(c3, c3, 1)),
+                Conv2dRaw(c3, nc, 1),
+            )
+
+        self.cv3 = [make_cv3(x) for x in ch]
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        self.one2one_cv2 = [_Seq(Conv(x, c2, 3), Conv(c2, c2, 3), Conv2dRaw(c2, 4 * reg_max, 1)) for x in ch]
+        self.one2one_cv3 = [make_cv3(x) for x in ch]
+
+    def bias_init_vars(self, v, imgsz: int = 640):
+        v = super().bias_init_vars(v, imgsz)
+        for i, s in enumerate(self.stride):
+            box_last = v["one2one_cv2"][str(i)]["m"][str(len(self.one2one_cv2[i].ms) - 1)]
+            box_last["bias"] = jnp.ones_like(box_last["bias"])
+            cls_last = v["one2one_cv3"][str(i)]["m"][str(len(self.one2one_cv3[i].ms) - 1)]
+            cls_last["bias"] = jnp.full_like(cls_last["bias"], math.log(5 / self.nc / (imgsz / s) ** 2))
+        return v
+
+    def _one2one_maps(self, v, xs, ctx: Ctx):
+        out = []
+        for i, x in enumerate(xs):
+            xd = jax.lax.stop_gradient(x)
+            box = self.one2one_cv2[i](v["one2one_cv2"][str(i)], xd, ctx)
+            cls = self.one2one_cv3[i](v["one2one_cv3"][str(i)], xd, ctx)
+            out.append(jnp.concatenate([box, cls], axis=-1))
+        return out
+
+    def __call__(self, v, xs, ctx: Ctx):
+        one2one = self._one2one_maps(v, xs, ctx)
+        if ctx.train:
+            one2many = self.raw_maps(v, xs, ctx)
+            return {"one2many": one2many, "one2one": one2one}
+        preds = self.decode(one2one)  # (B, A, 4 + nc) xywh + scores
+        b, a, _ = preds.shape
+        boxes, scores = preds[..., :4], preds[..., 4:]
+        flat = scores.reshape(b, -1)
+        k = min(self.max_det, a)
+        top_scores, idx = jax.lax.top_k(flat, k)
+        anchor_idx = idx // self.nc
+        cls_idx = (idx % self.nc).astype(jnp.float32)
+        sel = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+        from drone_yolo_tpu.ops.boxes import xywh2xyxy
+
+        dets = jnp.concatenate([xywh2xyxy(sel), top_scores[..., None], cls_idx[..., None]], axis=-1)
+        return dets, {"one2one": one2one}
 
 
 class _Seq(Module):

@@ -365,6 +365,20 @@ class v8OBBLoss(v8DetectionLoss):
         return jnp.sum(items) * b, jax.lax.stop_gradient(items)
 
 
+class E2EDetectLoss:
+    """Dual-assignment loss for NMS-free v10 heads (reference loss.py E2EDetectLoss):
+    one2many auxiliary branch (top-10 TAL) + one2one deployed branch (top-1)."""
+
+    def __init__(self, model, box: float = 7.5, cls: float = 0.5, dfl: float = 1.5):
+        self.one2many = v8DetectionLoss(model, tal_topk=10, box=box, cls=cls, dfl=dfl)
+        self.one2one = v8DetectionLoss(model, tal_topk=1, box=box, cls=cls, dfl=dfl)
+
+    def __call__(self, outs, targets):
+        l_many, i_many = self.one2many(outs["one2many"], targets)
+        l_one, i_one = self.one2one(outs["one2one"], targets)
+        return l_many + l_one, i_many + i_one
+
+
 class v8ClassificationLoss:
     """Cross-entropy classification loss (reference loss.py v8ClassificationLoss)."""
 

@@ -64,6 +64,26 @@ def test_forward_parity(name):
     np.testing.assert_allclose(ours_out, ref_out, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("name", ["v9/yolov9c.yaml", "v10/yolov10.yaml", "11/yolo11.yaml", "v3/yolov3.yaml"])
+def test_param_count_parity(name):
+    """Weight count must equal the reference's (minus its 16-element frozen DFL)."""
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as RefDet
+
+    yaml_path = f"{CFG_DIR}/../{name}"
+    torch.manual_seed(0)
+    ref_m = RefDet(yaml_path, verbose=False)
+    n_ref = sum(p.numel() for p in ref_m.parameters())
+    ours = DetectionModel(yaml_path)
+    variables = ours.init_raw(jax.random.PRNGKey(0))
+    from jax.tree_util import tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(variables)
+    n_ours = sum(int(np.prod(x.shape)) for p, x in leaves if getattr(p[-1], "key", "") not in ("mean", "var"))
+    assert n_ref - n_ours == 16, f"{name}: ref {n_ref} vs ours {n_ours}"
+
+
 def test_fused_forward_parity():
     """BN-folded weights must reproduce unfused outputs (reference fuse(), tasks.py:210)."""
     yaml_path = f"{CFG_DIR}/yolov8.yaml"
