@@ -11,8 +11,18 @@ from drone_yolo_tpu.solutions.speed_estimation import SpeedEstimator
 from drone_yolo_tpu.solutions.region_counter import RegionCounter
 from drone_yolo_tpu.solutions.queue_management import QueueManager
 from drone_yolo_tpu.solutions.distance_calculation import DistanceCalculation
+from drone_yolo_tpu.solutions.extra import (
+    AIGym,
+    Analytics,
+    InstanceSegmentation,
+    ParkingManagement,
+    SecurityAlarm,
+    TrackZone,
+)
 
 __all__ = [
     "BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator",
     "RegionCounter", "QueueManager", "DistanceCalculation",
+    "AIGym", "Analytics", "InstanceSegmentation", "ParkingManagement",
+    "SecurityAlarm", "TrackZone",
 ]
