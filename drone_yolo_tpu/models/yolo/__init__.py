@@ -35,7 +35,16 @@ class DetectionTrainer(BaseTrainer):
     """Detection trainer (reference models/yolo/detect/train.py:19)."""
 
 
+from drone_yolo_tpu.models.rtdetr import RTDETRPredictor, RTDETRTrainer, RTDETRValidator
+from drone_yolo_tpu.nn.model import RTDETRDetectionModel
+
 TASK_MAP = {
+    "rtdetr": {
+        "model": RTDETRDetectionModel,
+        "trainer": RTDETRTrainer,
+        "validator": RTDETRValidator,
+        "predictor": RTDETRPredictor,
+    },
     "detect": {
         "model": DetectionModel,
         "trainer": DetectionTrainer,

@@ -56,7 +56,13 @@ REGISTRY = {
     "CIB": M.CIB,
     "C2fCIB": M.C2fCIB,
     "v10Detect": M.v10Detect,
+    "LightConv": M.LightConv,
+    "HGStem": M.HGStem,
+    "HGBlock": M.HGBlock,
+    "RepC3": M.RepC3,
     "Concat": M.Concat,
+    "AIFI": None,  # resolved lazily (transformer import)
+    "RTDETRDecoder": None,
     "nn.Upsample": M.Upsample,
     "Upsample": M.Upsample,
     "Detect": M.Detect,
@@ -69,13 +75,13 @@ REGISTRY = {
 # Width-scalable modules taking (c1, c2, ...) — reference tasks.py:954-991
 # (base_modules), plus RepVGGBlock (the defect fix).
 BASE_MODULES = {
-    M.Conv, M.DWConv, M.Focus, M.GhostConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
+    M.Conv, M.DWConv, M.Focus, M.GhostConv, M.LightConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
-    M.CIB, M.C2fCIB,
+    M.CIB, M.C2fCIB, M.RepC3,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB}
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3}
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect}
 
 
@@ -155,7 +161,12 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
         cls = REGISTRY.get(mname)
         if cls is None:
-            raise KeyError(f"unknown module '{mname}' in model yaml (registered: {sorted(REGISTRY)})")
+            if mname in ("AIFI", "RTDETRDecoder"):
+                from drone_yolo_tpu.nn import transformer as T
+
+                cls = {"AIFI": T.AIFI, "RTDETRDecoder": T.RTDETRDecoder}[mname]
+            else:
+                raise KeyError(f"unknown module '{mname}' in model yaml (registered: {sorted(REGISTRY)})")
         args = list(args)
         # resolve string args: 'nc', 'None', 'nearest', numeric strings
         for j, a in enumerate(args):
@@ -189,6 +200,19 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                         args[3] = True
                     else:
                         args.append(True)
+        elif mname == "AIFI":
+            c2 = ch_list[f]
+            args = [c2, *args]
+        elif cls in (M.HGStem, M.HGBlock):
+            c1, cm, c2 = ch_list[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if cls is M.HGBlock:
+                args.insert(4, n_scaled)  # (c1, cm, c2, k, n, ...)
+                n_scaled = 1
+        elif mname == "RTDETRDecoder":
+            args.insert(1, [ch_list[x] for x in f])
+            module = cls(*args)
+            c2 = None
         elif cls is M.Concat:
             c2 = sum(ch_list[x] for x in f)
         elif cls is M.CBLinear:
@@ -207,7 +231,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         else:  # Upsample and other shape-preserving modules
             c2 = ch_list[f] if isinstance(f, int) else ch_list[f[-1]]
 
-        if cls not in HEAD_MODULES:
+        if cls not in HEAD_MODULES and mname != "RTDETRDecoder":
             if n_scaled > 1:
                 module = _RepeatSeq([cls(*args) for _ in range(n_scaled)])
             else:

@@ -184,11 +184,22 @@ class OBBModel(DetectionModel):
     task = "obb"
 
 
+class RTDETRDetectionModel(DetectionModel):
+    """RT-DETR task model (reference tasks.py:595 RTDETRDetectionModel)."""
+
+    task = "rtdetr"
+
+    def _probe_strides(self, imgsz: int = 256):
+        # transformer head: strides fixed by the 3-level neck
+        self.stride = np.array([8.0, 16.0, 32.0], dtype=np.float32)
+
+
 class ClassificationModel(BaseModel):
     task = "classify"
 
 
 TASK2MODELCLASS = {
+    "rtdetr": RTDETRDetectionModel,
     "detect": DetectionModel,
     "segment": SegmentationModel,
     "pose": PoseModel,
@@ -201,7 +212,7 @@ def guess_model_task(cfg) -> str:
     """Infer task from a model yaml (reference tasks.py:1127 guess_model_task)."""
     d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
     head_name = d["head"][-1][2].lower()
-    for task, key in (("classify", "classify"), ("segment", "segment"), ("pose", "pose"), ("obb", "obb")):
+    for task, key in (("classify", "classify"), ("segment", "segment"), ("pose", "pose"), ("obb", "obb"), ("rtdetr", "rtdetr")):
         if key in head_name:
             return task
     return "detect"

@@ -245,7 +245,11 @@ class Conv(Module):
         else:
             y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
             y = (y + v["conv"]["bias"]).astype(ctx.dtype)
-        return silu(y) if self.act is True else y
+        if self.act is True:
+            return silu(y)
+        if self.act == "relu":
+            return jax.nn.relu(y)
+        return y
 
     def fuse_vars(self, v):
         if "bn" not in v:
@@ -259,6 +263,60 @@ class DWConv(Conv):
 
     def __init__(self, c1, c2, k=1, s=1, d=1, act=True):
         super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), d=d, act=act)
+
+
+class LightConv(Module):
+    """1x1 conv (no act) + depthwise conv with ReLU (reference conv.py:84)."""
+
+    def __init__(self, c1, c2, k=1, act="relu"):
+        self.conv1 = Conv(c1, c2, 1, act=False)
+        self.conv2 = DWConv(c2, c2, k, act=act)
+
+    def __call__(self, v, x, ctx: Ctx):
+        return self.conv2(v["conv2"], self.conv1(v["conv1"], x, ctx), ctx)
+
+
+class HGStem(Module):
+    """PPHGNetV2 stem: 5 convs + maxpool with asymmetric pads (reference block.py:100)."""
+
+    def __init__(self, c1, cm, c2):
+        self.stem1 = Conv(c1, cm, 3, 2, act="relu")
+        self.stem2a = Conv(cm, cm // 2, 2, 1, 0, act="relu")
+        self.stem2b = Conv(cm // 2, cm, 2, 1, 0, act="relu")
+        self.stem3 = Conv(cm * 2, cm, 3, 2, act="relu")
+        self.stem4 = Conv(cm, c2, 1, 1, act="relu")
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = self.stem1(v["stem1"], x, ctx)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # F.pad [0,1,0,1]
+        x2 = self.stem2a(v["stem2a"], x, ctx)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = self.stem2b(v["stem2b"], x2, ctx)
+        x1 = max_pool2d(x, 2, 1, 0)  # on the padded map == ceil_mode pool
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = self.stem3(v["stem3"], x, ctx)
+        return self.stem4(v["stem4"], x, ctx)
+
+
+class HGBlock(Module):
+    """PPHGNetV2 block: n (Light)Convs + squeeze/excite convs (reference block.py:131)."""
+
+    def __init__(self, c1, cm, c2, k=3, n=6, lightconv=False, shortcut=False):
+        block = LightConv if lightconv else Conv
+        if lightconv:
+            self.m = [block(c1 if i == 0 else cm, cm, k=k) for i in range(n)]
+        else:
+            self.m = [block(c1 if i == 0 else cm, cm, k=k, act="relu") for i in range(n)]
+        self.sc = Conv(c1 + n * cm, c2 // 2, 1, 1, act="relu")
+        self.ec = Conv(c2 // 2, c2, 1, 1, act="relu")
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = [x]
+        for i, m in enumerate(self.m):
+            y.append(m(v["m"][str(i)], y[-1], ctx))
+        out = self.ec(v["ec"], self.sc(v["sc"], jnp.concatenate(y, axis=-1), ctx), ctx)
+        return out + x if self.add else out
 
 
 class Focus(Module):
@@ -629,6 +687,24 @@ class C2fCIB(C2f):
     def __init__(self, c1, c2, n=1, shortcut=False, lk=False, g=1, e=0.5):
         super().__init__(c1, c2, n, shortcut, g, e)
         self.m = [CIB(self.c, self.c, shortcut, e=1.0, lk=lk) for _ in range(n)]
+
+
+class RepC3(Module):
+    """RT-DETR neck block: RepConv stack + residual 1x1 (reference block.py:279)."""
+
+    def __init__(self, c1, c2, n=3, e=1.0):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c1, c_, 1, 1)
+        self.m = [RepConv(c_, c_) for _ in range(n)]
+        self.cv3 = Conv(c_, c2, 1, 1) if c_ != c2 else None
+
+    def __call__(self, v, x, ctx: Ctx):
+        a = self.cv1(v["cv1"], x, ctx)
+        for i, m in enumerate(self.m):
+            a = m(v["m"][str(i)], a, ctx)
+        y = a + self.cv2(v["cv2"], x, ctx)
+        return self.cv3(v["cv3"], y, ctx) if self.cv3 is not None else y
 
 
 class C3k(C3):

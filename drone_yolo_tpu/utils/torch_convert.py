@@ -80,6 +80,42 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             },
         }
 
+    from drone_yolo_tpu.nn import transformer as T
+
+    if isinstance(mod, T.Linear):
+        v = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+        if mod.bias:
+            v["bias"] = _np(sd[f"{prefix}.bias"])
+        return v
+
+    if isinstance(mod, T.LayerNorm):
+        return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+    if isinstance(mod, T.MultiheadAttention):
+        return {
+            "in_proj": {"kernel": _np(sd[f"{prefix}.in_proj_weight"]).T, "bias": _np(sd[f"{prefix}.in_proj_bias"])},
+            "out_proj": {"kernel": _np(sd[f"{prefix}.out_proj.weight"]).T, "bias": _np(sd[f"{prefix}.out_proj.bias"])},
+        }
+
+    if isinstance(mod, T.RTDETRDecoder):
+        v = {
+            "input_proj": {},
+            "input_proj_bn": {},
+            "denoising_class_embed": _np(sd[f"{prefix}.denoising_class_embed.weight"]),
+            "query_pos_head": convert_module(mod.query_pos_head, sd, f"{prefix}.query_pos_head"),
+            "enc_output": convert_module(mod.enc_output, sd, f"{prefix}.enc_output.0"),
+            "enc_output_norm": convert_module(mod.enc_output_norm, sd, f"{prefix}.enc_output.1"),
+            "enc_score_head": convert_module(mod.enc_score_head, sd, f"{prefix}.enc_score_head"),
+            "enc_bbox_head": convert_module(mod.enc_bbox_head, sd, f"{prefix}.enc_bbox_head"),
+            "dec_score_head": {str(i): convert_module(m, sd, f"{prefix}.dec_score_head.{i}") for i, m in enumerate(mod.dec_score_head)},
+            "dec_bbox_head": {str(i): convert_module(m, sd, f"{prefix}.dec_bbox_head.{i}") for i, m in enumerate(mod.dec_bbox_head)},
+            "layers": {str(i): convert_module(m, sd, f"{prefix}.decoder.layers.{i}") for i, m in enumerate(mod.layers)},
+        }
+        for i, p in enumerate(mod.input_proj):
+            v["input_proj"][str(i)] = {"kernel": _conv_w(sd[f"{prefix}.input_proj.{i}.0.weight"])}
+            v["input_proj_bn"][str(i)] = _bn(sd, f"{prefix}.input_proj.{i}.1")
+        return v
+
     # Generic composite (C2f, Bottleneck, SPPF, Detect, Segment, Pose, OBB, Focus,
     # GhostConv, _RepeatSeq, ...): recurse children under matching names. Detect's
     # frozen DFL conv (arange weights) is rebuilt analytically, not loaded.
