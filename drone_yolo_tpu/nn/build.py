@@ -56,6 +56,9 @@ REGISTRY = {
     "CIB": M.CIB,
     "C2fCIB": M.C2fCIB,
     "v10Detect": M.v10Detect,
+    "AAttn": M.AAttn,
+    "ABlock": M.ABlock,
+    "A2C2f": M.A2C2f,
     "LightConv": M.LightConv,
     "HGStem": M.HGStem,
     "HGBlock": M.HGBlock,
@@ -78,10 +81,10 @@ BASE_MODULES = {
     M.Conv, M.DWConv, M.Focus, M.GhostConv, M.LightConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
-    M.CIB, M.C2fCIB, M.RepC3,
+    M.CIB, M.C2fCIB, M.RepC3, M.A2C2f,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3}
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f}
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect}
 
 
@@ -200,6 +203,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                         args[3] = True
                     else:
                         args.append(True)
+            if cls is M.A2C2f:  # reference tasks.py:1040-1043
+                legacy = False
+                if scale in "lx":
+                    args.extend((True, 1.2))
         elif mname == "AIFI":
             c2 = ch_list[f]
             args = [c2, *args]

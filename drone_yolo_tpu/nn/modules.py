@@ -806,6 +806,83 @@ class C2PSA(Module):
         return self.cv2(v["cv2"], jnp.concatenate([a, b], axis=-1), ctx)
 
 
+class AAttn(Module):
+    """Area attention (reference block.py:1161, v12): full attention within
+    `area` horizontal stripes of the feature map."""
+
+    def __init__(self, dim, num_heads, area=1):
+        self.dim, self.nh, self.area = dim, num_heads, area
+        self.hd = dim // num_heads
+        self.qkv = Conv(dim, dim * 3, 1, act=False)
+        self.proj = Conv(dim, dim, 1, act=False)
+        self.pe = Conv(dim, dim, 7, 1, 3, g=dim, act=False)
+
+    def __call__(self, v, x, ctx: Ctx):
+        b, h, w, c = x.shape
+        n = h * w
+        qkv = self.qkv(v["qkv"], x, ctx).reshape(b, n, 3 * c)
+        area = self.area if self.area > 1 and n % self.area == 0 else 1
+        if area > 1:
+            qkv = qkv.reshape(b * area, n // area, 3 * c)
+        bb, nn_, _ = qkv.shape
+        q, k, vv = jnp.split(qkv.reshape(bb, nn_, self.nh, 3 * self.hd), 3, axis=-1)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * (self.hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(ctx.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vv).reshape(bb, nn_, c)
+        vv = vv.reshape(bb, nn_, c)
+        if area > 1:
+            out = out.reshape(b, n, c)
+            vv = vv.reshape(b, n, c)
+        out = out.reshape(b, h, w, c)
+        vv = vv.reshape(b, h, w, c)
+        out = out + self.pe(v["pe"], vv, ctx)
+        return self.proj(v["proj"], out, ctx)
+
+
+class ABlock(Module):
+    """Area-attention + MLP residual block (reference block.py:1239)."""
+
+    def __init__(self, dim, num_heads, mlp_ratio=1.2, area=1):
+        self.attn = AAttn(dim, num_heads=num_heads, area=area)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = _Seq(Conv(dim, hidden, 1), Conv(hidden, dim, 1, act=False))
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x + self.attn(v["attn"], x, ctx)
+        return x + self.mlp(v["mlp"], x, ctx)
+
+
+class A2C2f(Module):
+    """R-ELAN area-attention C2f (reference block.py:1298, the v12 workhorse)."""
+
+    def __init__(self, c1, c2, n=1, a2=True, area=1, residual=False, mlp_ratio=2.0, e=0.5, g=1, shortcut=True):
+        c_ = int(c2 * e)
+        assert c_ % 32 == 0, "ABlock dim must be a multiple of 32"
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv((1 + n) * c_, c2, 1)
+        self.residual = a2 and residual
+        self.c2 = c2
+        if a2:
+            self.m = [_Seq(*(ABlock(c_, c_ // 32, mlp_ratio, area) for _ in range(2))) for _ in range(n)]
+        else:
+            self.m = [C3k(c_, c_, 2, shortcut, g) for _ in range(n)]
+
+    def init(self, key):
+        v = super().init(key)
+        if self.residual:
+            v["gamma"] = 0.01 * jnp.ones((self.c2,), jnp.float32)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = [self.cv1(v["cv1"], x, ctx)]
+        for i, m in enumerate(self.m):
+            y.append(m(v["m"][str(i)], y[-1], ctx))
+        out = self.cv2(v["cv2"], jnp.concatenate(y, axis=-1), ctx)
+        if self.residual:
+            return x + v["gamma"].astype(ctx.dtype) * out
+        return out
+
+
 class SCDown(Module):
     """Separable-conv downsample (reference block.py:1080, v10)."""
 

@@ -64,7 +64,7 @@ def test_forward_parity(name):
     np.testing.assert_allclose(ours_out, ref_out, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["v9/yolov9c.yaml", "v10/yolov10.yaml", "11/yolo11.yaml", "v3/yolov3.yaml"])
+@pytest.mark.parametrize("name", ["v9/yolov9c.yaml", "v10/yolov10.yaml", "11/yolo11.yaml", "v3/yolov3.yaml", "12/yolo12.yaml"])
 def test_param_count_parity(name):
     """Weight count must equal the reference's (minus its 16-element frozen DFL)."""
     import torch
