@@ -56,6 +56,12 @@ REGISTRY = {
     "CIB": M.CIB,
     "C2fCIB": M.C2fCIB,
     "v10Detect": M.v10Detect,
+    "C2fAttn": M.C2fAttn,
+    "MaxSigmoidAttnBlock": M.MaxSigmoidAttnBlock,
+    "ImagePoolingAttn": M.ImagePoolingAttn,
+    "ContrastiveHead": M.ContrastiveHead,
+    "BNContrastiveHead": M.BNContrastiveHead,
+    "WorldDetect": M.WorldDetect,
     "AAttn": M.AAttn,
     "ABlock": M.ABlock,
     "A2C2f": M.A2C2f,
@@ -81,11 +87,11 @@ BASE_MODULES = {
     M.Conv, M.DWConv, M.Focus, M.GhostConv, M.LightConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
-    M.CIB, M.C2fCIB, M.RepC3, M.A2C2f,
+    M.CIB, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f}
-HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect}
+REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn}
+HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect, M.WorldDetect}
 
 
 def make_divisible(x, divisor: int = 8) -> int:
@@ -207,6 +213,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 legacy = False
                 if scale in "lx":
                     args.extend((True, 1.2))
+            if cls is M.C2fAttn:  # embed channels + heads scaling (tasks.py:1028-1030)
+                args[3] = make_divisible(min(args[3], max_channels // 2) * width, 8)
+                args[4] = int(max(round(min(args[4], max_channels // 2 // 32) * width), 1) if args[4] > 1 else args[4])
         elif mname == "AIFI":
             c2 = ch_list[f]
             args = [c2, *args]
@@ -216,6 +225,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             if cls is M.HGBlock:
                 args.insert(4, n_scaled)  # (c1, cm, c2, k, n, ...)
                 n_scaled = 1
+        elif cls is M.ImagePoolingAttn:
+            args = [*args]
+            # signature (ec, ch, ct, nh, k, scale): yaml gives [ec]; ch from inputs
+            args.insert(1, [ch_list[x] for x in f])
+            c2 = ch_list[f[-1]] if isinstance(f, list) else ch_list[f]
         elif mname == "RTDETRDecoder":
             args.insert(1, [ch_list[x] for x in f])
             module = cls(*args)

@@ -184,6 +184,60 @@ class OBBModel(DetectionModel):
     task = "obb"
 
 
+class WorldModel(DetectionModel):
+    """YOLO-World open-vocabulary model (reference tasks.py:595 WorldModel).
+
+    Class semantics come from text embeddings: `set_classes` installs (nc, 512)
+    embeddings (precomputed, or CLIP-encoded when weights are available locally);
+    the graph threads them to MaxSigmoidAttnBlock/ContrastiveHead via Ctx.text.
+    """
+
+    task = "detect"
+
+    def __init__(self, cfg="yolov8s-worldv2.yaml", ch=3, nc=None, verbose=False):
+        self.txt_feats = np.random.default_rng(0).standard_normal((1, nc or 80, 512)).astype(np.float32)
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+    def set_classes(self, names, embeddings=None):
+        """Install class texts. `embeddings` (n, 512) may be precomputed; otherwise
+        CLIP via transformers is attempted (requires local weights)."""
+        if embeddings is None:
+            embeddings = clip_text_embeddings(names)
+        e = np.asarray(embeddings, np.float32)
+        e = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+        self.txt_feats = e[None]
+        self.names = dict(enumerate(names))
+        self.head.nc = self.nc = len(names)
+
+    def apply(self, variables, x, train: bool = False, ctx=None):
+        from drone_yolo_tpu.nn import modules as M_
+
+        ctx = ctx or M_.Ctx(train=train)
+        if ctx.text is None:
+            txt = jnp.asarray(self.txt_feats)
+            ctx.text = jnp.broadcast_to(txt, (x.shape[0], *txt.shape[1:]))
+        return super().apply(variables, x, train=train, ctx=ctx)
+
+
+def clip_text_embeddings(texts, model_id: str = "openai/clip-vit-base-patch32"):
+    """Encode texts with CLIP if transformers weights are locally available."""
+    try:
+        import torch
+        from transformers import CLIPModel, CLIPProcessor
+
+        clip = CLIPModel.from_pretrained(model_id)
+        proc = CLIPProcessor.from_pretrained(model_id)
+        inputs = proc(text=list(texts), return_tensors="pt", padding=True)
+        with torch.no_grad():
+            e = clip.get_text_features(**inputs)
+        return e.numpy()
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            "CLIP text encoding unavailable (zero-egress build needs local weights); "
+            f"pass precomputed `embeddings` to set_classes. ({e})"
+        ) from e
+
+
 class RTDETRDetectionModel(DetectionModel):
     """RT-DETR task model (reference tasks.py:595 RTDETRDetectionModel)."""
 

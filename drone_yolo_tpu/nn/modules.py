@@ -47,11 +47,13 @@ class Ctx:
     `updates` collects (path -> (batch_mean, batch_var)) from BatchNorms in train
     mode; the train step folds them into the running stats (EMA) after the
     gradient step. This keeps `__call__` single-return while staying functional.
+    `text` carries text embeddings (B, nc, ct) for open-vocabulary (world) heads.
     """
 
     train: bool = False
     dtype: Any = jnp.bfloat16
     updates: dict = field(default_factory=dict)
+    text: Any = None
 
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
@@ -689,6 +691,154 @@ class C2fCIB(C2f):
         self.m = [CIB(self.c, self.c, shortcut, e=1.0, lk=lk) for _ in range(n)]
 
 
+class MaxSigmoidAttnBlock(Module):
+    """Max-sigmoid text-guided attention (reference block.py:414, YOLO-World)."""
+
+    def __init__(self, c1, c2, nh=1, ec=128, gc=512, scale=False):
+        self.nh, self.hc = nh, c2 // nh
+        self.ec_conv = Conv(c1, ec, 1, act=False) if c1 != ec else None
+        self.gl = None  # built in init (Linear)
+        self.gc, self.ec_dim = gc, ec
+        self.proj_conv = Conv(c1, c2, 3, 1, act=False)
+        self.use_scale = scale
+
+    def init(self, key):
+        v = {}
+        if self.ec_conv is not None:
+            v["ec"] = self.ec_conv.init(_child_key(key, "ec"))
+        bound = 1.0 / math.sqrt(self.gc)
+        v["gl"] = {
+            "kernel": jax.random.uniform(_child_key(key, "gl"), (self.gc, self.ec_dim), jnp.float32, -bound, bound),
+            "bias": jax.random.uniform(_child_key(key, "glb"), (self.ec_dim,), jnp.float32, -bound, bound),
+        }
+        v["bias"] = jnp.zeros((self.nh,), jnp.float32)
+        v["proj_conv"] = self.proj_conv.init(_child_key(key, "pc"))
+        if self.use_scale:
+            v["scale"] = jnp.ones((self.nh,), jnp.float32)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        guide = ctx.text  # (B, n_cls, gc)
+        b, h, w, _ = x.shape
+        g = guide.astype(jnp.float32) @ v["gl"]["kernel"] + v["gl"]["bias"]  # (B, n, ec)
+        g = g.reshape(b, -1, self.nh, self.hc)
+        embed = self.ec_conv(v["ec"], x, ctx) if self.ec_conv is not None else x
+        embed = embed.reshape(b, h, w, self.nh, self.hc).astype(jnp.float32)
+        aw = jnp.einsum("bhwmc,bnmc->bhwmn", embed, g)
+        aw = jnp.max(aw, axis=-1) / math.sqrt(self.hc)  # (B, H, W, nh)
+        aw = jax.nn.sigmoid(aw + v["bias"])
+        if self.use_scale:
+            aw = aw * v["scale"]
+        y = self.proj_conv(v["proj_conv"], x, ctx)
+        y = y.reshape(b, h, w, self.nh, self.hc) * aw[..., None].astype(y.dtype)
+        return y.reshape(b, h, w, self.nh * self.hc)
+
+
+class C2fAttn(Module):
+    """C2f with a text-guided attention tail (reference block.py:449, YOLO-World)."""
+
+    def __init__(self, c1, c2, n=1, ec=128, nh=1, gc=512, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv((3 + n) * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
+        self.attn = MaxSigmoidAttnBlock(self.c, self.c, gc=gc, ec=ec, nh=nh)
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = list(jnp.split(self.cv1(v["cv1"], x, ctx), 2, axis=-1))
+        for i, m in enumerate(self.m):
+            y.append(m(v["m"][str(i)], y[-1], ctx))
+        y.append(self.attn(v["attn"], y[-1], ctx))
+        return self.cv2(v["cv2"], jnp.concatenate(y, axis=-1), ctx)
+
+
+class ContrastiveHead(Module):
+    """Region-text similarity head (reference block.py:522)."""
+
+    def init(self, key):
+        return {"bias": jnp.asarray([-10.0], jnp.float32), "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32)}
+
+    def __call__(self, v, x, ctx: Ctx):
+        w = ctx.text.astype(jnp.float32)  # (B, n, c)
+        xf = x.astype(jnp.float32)
+        xf = xf / (jnp.linalg.norm(xf, axis=-1, keepdims=True) + 1e-12)
+        w = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+        sim = jnp.einsum("bhwc,bkc->bhwk", xf, w)
+        return sim * jnp.exp(v["logit_scale"]) + v["bias"]
+
+
+class BNContrastiveHead(Module):
+    """Contrastive head with BatchNorm on image features (reference block.py:540)."""
+
+    def __init__(self, embed_dims):
+        self.c = embed_dims
+
+    def init(self, key):
+        return {
+            "bn": _bn_init(self.c),
+            "bias": jnp.asarray([-10.0], jnp.float32),
+            "logit_scale": jnp.asarray(-1.0, jnp.float32),
+        }
+
+    def __call__(self, v, x, ctx: Ctx):
+        xf = _bn_apply(v["bn"], x, ctx, f"{self.path}.bn").astype(jnp.float32)
+        w = ctx.text.astype(jnp.float32)
+        w = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+        sim = jnp.einsum("bhwc,bkc->bhwk", xf, w)
+        return sim * jnp.exp(v["logit_scale"]) + v["bias"]
+
+
+class ImagePoolingAttn(Module):
+    """Image-aware enhancement of text embeddings (reference block.py:476).
+
+    Updates ctx.text in place (the reference threads the refined text forward)."""
+
+    def __init__(self, ec=256, ch=(), ct=512, nh=8, k=3, scale=False):
+        self.ec_dim, self.ct, self.nh, self.k = ec, ct, nh, k
+        self.nf = len(ch)
+        self.hc = ec // nh
+        from drone_yolo_tpu.nn import transformer as T
+
+        self.query = _Seq(T.LayerNorm(ct), T.Linear(ct, ec))
+        self.key = _Seq(T.LayerNorm(ec), T.Linear(ec, ec))
+        self.value = _Seq(T.LayerNorm(ec), T.Linear(ec, ec))
+        self.proj = T.Linear(ec, ct)
+        self.projections = [Conv2dRaw(c, ec, 1, bias=True) for c in ch]
+        self.use_scale = scale
+
+    def init(self, key):
+        v = super().init(key)
+        if self.use_scale:
+            v["scale"] = jnp.zeros((1,), jnp.float32)
+        return v
+
+    def __call__(self, v, xs, ctx: Ctx):
+        text = ctx.text
+        b = xs[0].shape[0]
+        pooled = []
+        for i, x in enumerate(xs):
+            p = self.projections[i](v["projections"][str(i)], x, ctx)  # (B, H, W, ec)
+            # adaptive max-pool to k x k
+            bb, h, w, c = p.shape
+            ph = h // self.k * self.k
+            pw = w // self.k * self.k
+            p = p[:, :ph, :pw, :].reshape(bb, self.k, ph // self.k, self.k, pw // self.k, c)
+            p = jnp.max(p, axis=(2, 4))  # (B, k, k, ec)
+            pooled.append(p.reshape(bb, self.k * self.k, c))
+        feats = jnp.concatenate(pooled, axis=1)  # (B, nf*k*k, ec)
+        q = self.query(v["query"], text, ctx).reshape(b, -1, self.nh, self.hc)
+        kk = self.key(v["key"], feats, ctx).reshape(b, -1, self.nh, self.hc)
+        vv = self.value(v["value"], feats, ctx).reshape(b, -1, self.nh, self.hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk) / math.sqrt(self.hc)
+        aw = jax.nn.softmax(aw, axis=-1)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, vv).reshape(b, -1, self.ec_dim)
+        out = self.proj(v["proj"], out, ctx)
+        scale = v["scale"] if self.use_scale else 1.0
+        new_text = out * scale + text
+        ctx.text = new_text
+        return new_text
+
+
 class RepC3(Module):
     """RT-DETR neck block: RepConv stack + residual 1x1 (reference block.py:279)."""
 
@@ -1129,6 +1279,33 @@ class v10Detect(Detect):
 
         dets = jnp.concatenate([xywh2xyxy(sel), top_scores[..., None], cls_idx[..., None]], axis=-1)
         return dets, {"one2one": one2one}
+
+
+class WorldDetect(Detect):
+    """Open-vocabulary detection head (reference head.py:307): cls branch emits
+    text-embedding-space features scored by a contrastive head against ctx.text."""
+
+    def __init__(self, nc=80, embed=512, with_bn=False, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy=True)
+        c3 = max(ch[0], min(nc, 100))
+        self.cv3 = [_Seq(Conv(x, c3, 3), Conv(c3, c3, 3), Conv2dRaw(c3, embed, 1)) for x in ch]
+        self.cv4 = [BNContrastiveHead(embed) if with_bn else ContrastiveHead() for _ in ch]
+
+    def raw_maps(self, v, xs, ctx: Ctx):
+        out = []
+        for i, x in enumerate(xs):
+            box = self.cv2[i](v["cv2"][str(i)], x, ctx)
+            emb = self.cv3[i](v["cv3"][str(i)], x, ctx)
+            cls = self.cv4[i](v["cv4"][str(i)], emb, ctx)
+            out.append(jnp.concatenate([box, cls.astype(box.dtype)], axis=-1))
+        return out
+
+    def bias_init_vars(self, v, imgsz: int = 640):
+        v = jax.tree_util.tree_map(lambda x: x, v)
+        for i in range(self.nl):
+            box_last = v["cv2"][str(i)]["m"][str(len(self.cv2[i].ms) - 1)]
+            box_last["bias"] = jnp.ones_like(box_last["bias"])
+        return v
 
 
 class _Seq(Module):

@@ -80,6 +80,28 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             },
         }
 
+    if isinstance(mod, M.MaxSigmoidAttnBlock):
+        v = {
+            "gl": {"kernel": _np(sd[f"{prefix}.gl.weight"]).T, "bias": _np(sd[f"{prefix}.gl.bias"])},
+            "bias": _np(sd[f"{prefix}.bias"]),
+            "proj_conv": convert_module(mod.proj_conv, sd, f"{prefix}.proj_conv"),
+        }
+        if mod.ec_conv is not None:
+            v["ec"] = convert_module(mod.ec_conv, sd, f"{prefix}.ec")
+        if mod.use_scale:
+            v["scale"] = _np(sd[f"{prefix}.scale"]).reshape(-1)
+        return v
+
+    if isinstance(mod, M.ContrastiveHead):
+        return {"bias": _np(sd[f"{prefix}.bias"]).reshape(-1), "logit_scale": _np(sd[f"{prefix}.logit_scale"]).reshape(())}
+
+    if isinstance(mod, M.BNContrastiveHead):
+        return {
+            "bn": _bn(sd, f"{prefix}.norm"),
+            "bias": _np(sd[f"{prefix}.bias"]).reshape(-1),
+            "logit_scale": _np(sd[f"{prefix}.logit_scale"]).reshape(()),
+        }
+
     from drone_yolo_tpu.nn import transformer as T
 
     if isinstance(mod, T.Linear):
