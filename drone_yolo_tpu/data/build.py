@@ -23,6 +23,11 @@ from drone_yolo_tpu.utils import LOGGER
 
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train", stride: int = 32, max_labels=None):
     """Construct a YOLODataset from a merged config (reference build.py:96)."""
+    if getattr(cfg, "rect", False):
+        LOGGER.warning(
+            "rect=True: aspect-bucketed batching would force one XLA compile per "
+            "bucket; using square letterbox shapes instead (TPU static-shape policy)"
+        )
     return YOLODataset(
         img_path=img_path,
         imgsz=cfg.imgsz,

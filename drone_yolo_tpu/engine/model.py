@@ -20,6 +20,8 @@ from drone_yolo_tpu.utils import DEFAULT_CFG_DICT, LOGGER
 class YOLO:
     """User-facing facade over task models, trainers, validators, predictors."""
 
+    MODEL_CLASS = None  # subclass hook (YOLOWorld, RTDETR)
+
     def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
         self.overrides: dict = {}
         self.ckpt = None
@@ -36,7 +38,7 @@ class YOLO:
     # -- construction -------------------------------------------------------
     def _new(self, cfg: str, task: str | None = None, verbose: bool = False):
         self.task = task or guess_model_task(cfg)
-        cls = TASK2MODELCLASS[self.task]
+        cls = self.MODEL_CLASS or TASK2MODELCLASS[self.task]
         self.model = cls(cfg, verbose=verbose)
         self.cfg = cfg
         self.overrides["model"] = cfg
