@@ -36,9 +36,14 @@ def get_default_callbacks() -> dict:
 
 def add_integration_callbacks(instance) -> None:
     """Attach available logger integrations (reference callbacks/base.py:187)."""
-    from drone_yolo_tpu.utils.loggers import tensorboard_callbacks, csv_callbacks
+    from drone_yolo_tpu.utils.loggers import (
+        csv_callbacks,
+        mlflow_callbacks,
+        tensorboard_callbacks,
+        wandb_callbacks,
+    )
 
-    for pack in (csv_callbacks(), tensorboard_callbacks()):
+    for pack in (csv_callbacks(), tensorboard_callbacks(), wandb_callbacks(), mlflow_callbacks()):
         if not pack:
             continue
         for event, fn in pack.items():

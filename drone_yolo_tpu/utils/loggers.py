@@ -29,6 +29,53 @@ def csv_callbacks():
     return {"on_fit_epoch_end": on_fit_epoch_end}
 
 
+def wandb_callbacks():
+    """Weights & Biases logging, if wandb is importable (reference callbacks/wb.py)."""
+    try:
+        import wandb  # noqa: F401
+    except ImportError:
+        return None
+    import wandb
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["run"] = wandb.init(project=str(trainer.args.project or "drone_yolo_tpu"), name=trainer.args.name, config=vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):
+        if "run" in state:
+            wandb.log({**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}, step=trainer.epoch)
+
+    def on_train_end(trainer):
+        if "run" in state:
+            state["run"].finish()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start, "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def mlflow_callbacks():
+    """MLflow logging, if mlflow is importable (reference callbacks/mlflow.py)."""
+    try:
+        import mlflow  # noqa: F401
+    except ImportError:
+        return None
+    import mlflow
+
+    def on_pretrain_routine_end(trainer):
+        mlflow.set_experiment(str(trainer.args.project or "drone_yolo_tpu"))
+        mlflow.start_run(run_name=trainer.args.name)
+        mlflow.log_params({k: str(v) for k, v in vars(trainer.args).items()})
+
+    def on_fit_epoch_end(trainer):
+        metrics = {**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}
+        mlflow.log_metrics({k.replace("(", "").replace(")", "").replace("/", "_"): float(v) for k, v in metrics.items() if isinstance(v, (int, float))}, step=trainer.epoch)
+
+    def on_train_end(trainer):
+        mlflow.end_run()
+
+    return {"on_pretrain_routine_end": on_pretrain_routine_end, "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
 def tensorboard_callbacks():
     """TensorBoard scalars, if tensorboard is importable."""
     try:
