@@ -208,6 +208,7 @@ class WorldModel(DetectionModel):
         self.txt_feats = e[None]
         self.names = dict(enumerate(names))
         self.head.nc = self.nc = len(names)
+        self.head.no = self.head.reg_max * 4 + self.nc  # decode split width
 
     def apply(self, variables, x, train: bool = False, ctx=None):
         from drone_yolo_tpu.nn import modules as M_
