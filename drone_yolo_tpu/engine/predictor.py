@@ -101,10 +101,14 @@ class BasePredictor(CallbackMixin):
         pre_topk = min(int(self.args.pre_nms_topk), 1024)
 
         end2end = isinstance(getattr(self.model, "head", None), M.v10Detect)
+        augment = bool(self.args.augment) and hasattr(self.model, "predict_augmented") and not end2end
 
         @jax.jit
         def fn(variables, x):
-            preds, _ = self.model.apply(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
+            if augment:
+                preds = self.model.predict_augmented(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
+            else:
+                preds, _ = self.model.apply(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
             if end2end:  # NMS-free: preds are already (B, max_det, 6) sorted by score
                 dets = preds[:, :max_det]
                 n_valid = jnp.sum(dets[..., 4] > conf, axis=-1).astype(jnp.int32)

@@ -100,6 +100,36 @@ class BaseModel:
     def __call__(self, variables, x, train: bool = False, ctx: M.Ctx | None = None):
         return self.apply(variables, x, train=train, ctx=ctx)
 
+    def predict_augmented(self, variables, x, ctx=None):
+        """Test-time augmentation (reference tasks.py:339 _predict_augment):
+        3 forward passes at scales (1.0, 0.83, 0.67) with an lr-flip at 0.83,
+        predictions descaled/unflipped to the input frame and concatenated.
+        Each scale is its own static shape -> compiles once per scale."""
+        import jax.numpy as jnp
+
+        from drone_yolo_tpu.nn import modules as M
+
+        ctx = ctx or M.Ctx(train=False)
+        b, h, w, c = x.shape
+        gs = int(max(self.stride))
+        outs = []
+        for scale, flip in ((1.0, None), (0.83, "lr"), (0.67, None)):
+            sh = max(int(round(h * scale / gs)) * gs, gs)
+            sw = max(int(round(w * scale / gs)) * gs, gs)
+            xi = x if (sh, sw) == (h, w) else jax.image.resize(x, (b, sh, sw, c), method="bilinear")
+            if flip == "lr":
+                xi = xi[:, :, ::-1, :]
+            out = self.apply(variables, xi, ctx=M.Ctx(train=False, dtype=ctx.dtype))
+            preds = out[0] if isinstance(out, tuple) else out  # (B, A, 4+nc) xywh pixels
+            boxes, scores = preds[..., :4], preds[..., 4:]
+            # descale to the original frame
+            sx, sy = w / sw, h / sh
+            bx = boxes * jnp.asarray([sx, sy, sx, sy], boxes.dtype)
+            if flip == "lr":
+                bx = jnp.concatenate([w - bx[..., 0:1], bx[..., 1:]], axis=-1)
+            outs.append(jnp.concatenate([bx, scores], axis=-1))
+        return jnp.concatenate(outs, axis=1)
+
     # -- transforms ---------------------------------------------------------
     def fuse(self, variables):
         """Fold BN into convs and collapse RepVGG branches (pure weight transform).
