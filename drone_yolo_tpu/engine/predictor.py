@@ -182,6 +182,8 @@ class BasePredictor(CallbackMixin):
                     n_valid = jax.device_get(n_valid)
                 with profilers[2]:
                     self.results = self.postprocess(payload, n_valid, x.shape[1:3], im0s, paths)
+                if self.args.visualize:
+                    self._visualize_features(x, paths)
                 self.run_callbacks("on_predict_postprocess_end")
 
                 for i, result in enumerate(self.results):
@@ -205,6 +207,24 @@ class BasePredictor(CallbackMixin):
                 f"Speed: {t[0]:.1f}ms preprocess, {t[1]:.1f}ms inference, {t[2]:.1f}ms postprocess per image"
             )
         self.run_callbacks("on_predict_end")
+
+    def _visualize_features(self, x, paths, layers=None):
+        """Dump feature-map grids per layer (reference predict visualize=True,
+        tasks.py:155 + plotting.py:1373). Diagnostic path: runs layer-by-layer."""
+        from drone_yolo_tpu.utils.plotting import feature_visualization
+
+        model = self.model
+        layers = layers or [s.i for s in model.layers if s.type in ("C2f", "SPPF", "C3k2", "C2PSA")]
+        save_dir = self.save_dir / "features" / Path(paths[0]).stem
+        ctx = M.Ctx(train=False, dtype=jnp.float32)
+        y, out = [], jnp.asarray(x)
+        for spec in model.layers:
+            f = spec.f
+            xin = out if f == -1 else (y[f] if isinstance(f, int) else [out if j == -1 else y[j] for j in f])
+            out = spec.module(self.variables.get(str(spec.i), {}), xin, ctx)
+            y.append(out if spec.i in model.save else None)
+            if spec.i in layers and not isinstance(out, (list, tuple, dict)):
+                feature_visualization(np.asarray(out, np.float32), spec.type, spec.i, save_dir=save_dir)
 
     def write_results(self, i, path, result, infos):
         """Log/save one result (reference predictor.py:325)."""

@@ -303,6 +303,75 @@ def clean_url(url: str) -> str:
     return re.sub(r"//.*?@", "//", str(url))
 
 
+class JSONDict(dict):
+    """Dict persisted to a JSON file on every mutation (reference utils/__init__.py:1080)."""
+
+    def __init__(self, file_path: str | Path):
+        super().__init__()
+        self.file_path = Path(file_path)
+        self._lock = threading.Lock()
+        if self.file_path.exists():
+            try:
+                import json
+
+                super().update(json.loads(self.file_path.read_text()))
+            except (ValueError, OSError):
+                pass
+
+    def _save(self):
+        import json
+
+        self.file_path.parent.mkdir(parents=True, exist_ok=True)
+        self.file_path.write_text(json.dumps(dict(self), indent=2))
+
+    def __setitem__(self, k, v):
+        with self._lock:
+            super().__setitem__(k, v)
+            self._save()
+
+    def update(self, *a, **kw):
+        with self._lock:
+            super().update(*a, **kw)
+            self._save()
+
+    def reset(self):
+        with self._lock:
+            self.clear()
+            self._save()
+
+
+class SettingsManager(JSONDict):
+    """Persistent user settings (reference utils/__init__.py:1173 SettingsManager)."""
+
+    DEFAULTS = {
+        "settings_version": "1.0.0",
+        "datasets_dir": str(Path(os.environ.get("YOLO_DATASETS_DIR", Path.cwd() / "datasets"))),
+        "weights_dir": "weights",
+        "runs_dir": "runs",
+        "sync": False,  # zero-egress: telemetry off
+        "tensorboard": True,
+        "wandb": False,
+        "mlflow": False,
+    }
+
+    def __init__(self, file_path: str | Path | None = None):
+        file_path = file_path or Path(os.environ.get("YOLO_CONFIG_DIR", Path.home() / ".config" / "drone_yolo_tpu")) / "settings.json"
+        super().__init__(file_path)
+        for k, v in self.DEFAULTS.items():
+            dict.setdefault(self, k, v)
+
+
+# Lazy singleton: created on first access to avoid writes at import time.
+_SETTINGS = None
+
+
+def get_settings() -> SettingsManager:
+    global _SETTINGS
+    if _SETTINGS is None:
+        _SETTINGS = SettingsManager()
+    return _SETTINGS
+
+
 # Default configuration dict, loaded once (reference: utils/__init__.py:530-536).
 DEFAULT_CFG_DICT = {k: (None if isinstance(v, str) and v.lower() == "none" else v) for k, v in yaml_load(DEFAULT_CFG_PATH).items()}
 DEFAULT_CFG_KEYS = DEFAULT_CFG_DICT.keys()
