@@ -70,6 +70,11 @@ REGISTRY = {
     "HGBlock": M.HGBlock,
     "RepC3": M.RepC3,
     "Concat": M.Concat,
+    "CBAM": M.CBAM,
+    "ChannelAttention": M.ChannelAttention,
+    "SpatialAttention": M.SpatialAttention,
+    "nn.ConvTranspose2d": M.ConvTranspose2dRaw,
+    "ConvTranspose2d": M.ConvTranspose2dRaw,
     "AIFI": None,  # resolved lazily (transformer import)
     "RTDETRDecoder": None,
     "nn.Upsample": M.Upsample,
@@ -87,7 +92,7 @@ BASE_MODULES = {
     M.Conv, M.DWConv, M.Focus, M.GhostConv, M.LightConv, M.Bottleneck, M.C1, M.C2, M.C2f, M.C3,
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
-    M.CIB, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn,
+    M.CIB, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn, M.ConvTranspose2dRaw,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
 REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn}
@@ -167,6 +172,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     ch_list = [ch]
     layers, save = [], []
     legacy = True  # v8-style head cls branch; C3k2 (v11) flips to the DWConv variant
+    # global activation override (reference tasks.py:944: yaml `activation:` key)
+    act_override = None
+    act_str = str(d.get("activation") or "")
+    if "ReLU" in act_str and "Leaky" not in act_str:
+        act_override = "relu"
     for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
         cls = REGISTRY.get(mname)
         if cls is None:
@@ -257,6 +267,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 module = _RepeatSeq([cls(*args) for _ in range(n_scaled)])
             else:
                 module = cls(*args)
+
+        if act_override is not None:
+            M.override_default_act(module, act_override)
 
         spec = LayerSpec(module, i, f, mname, n_scaled)
         layers.append(spec)

@@ -321,6 +321,46 @@ class HGBlock(Module):
         return out + x if self.add else out
 
 
+class ConvTranspose2dRaw(Module):
+    """Bare transposed conv (torch nn.ConvTranspose2d analog, used by v6 upsampling)."""
+
+    def __init__(self, c1, c2, k=2, s=2, p=0, bias=True):
+        self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p
+        self.bias = bias
+
+    def init(self, key):
+        fan_in = self.c1 * self.k * self.k
+        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c1, self.c2), fan_in)}
+        if self.bias:
+            v["bias"] = _kaiming_uniform(_child_key(key, "b"), (self.c2,), fan_in)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = jax.lax.conv_transpose(
+            x.astype(ctx.dtype),
+            v["kernel"].astype(ctx.dtype),
+            strides=(self.s, self.s),
+            padding=((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias:
+            y = y + v["bias"].astype(ctx.dtype)
+        return y
+
+
+def override_default_act(module: Module, act):
+    """Recursively replace the default SiLU on Conv-family modules (the yaml
+    `activation:` key, reference tasks.py:944-947 Conv.default_act override)."""
+    if isinstance(module, (Conv,)) and module.act is True:
+        module.act = act
+    for child in module.children().values():
+        if isinstance(child, list):
+            for m in child:
+                override_default_act(m, act)
+        else:
+            override_default_act(child, act)
+
+
 class Focus(Module):
     """Space-to-depth stem (reference conv.py:139): concat 4 pixel phases then conv."""
 
@@ -345,6 +385,45 @@ class GhostConv(Module):
     def __call__(self, v, x, ctx: Ctx):
         y = self.cv1(v["cv1"], x, ctx)
         return jnp.concatenate([y, self.cv2(v["cv2"], y, ctx)], axis=-1)
+
+
+class ChannelAttention(Module):
+    """Squeeze-excite channel attention (reference conv.py:278)."""
+
+    def __init__(self, channels):
+        self.fc = Conv2dRaw(channels, channels, 1, bias=True)
+
+    def __call__(self, v, x, ctx: Ctx):
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        w = jax.nn.sigmoid(self.fc(v["fc"], pooled.astype(ctx.dtype), ctx).astype(jnp.float32))
+        return (x.astype(jnp.float32) * w).astype(ctx.dtype)
+
+
+class SpatialAttention(Module):
+    """Spatial attention over channel mean/max maps (reference conv.py:293)."""
+
+    def __init__(self, kernel_size=7):
+        assert kernel_size in (3, 7)
+        self.cv1 = Conv2dRaw(2, 1, kernel_size, p=kernel_size // 2, bias=False)
+
+    def __call__(self, v, x, ctx: Ctx):
+        xf = x.astype(jnp.float32)
+        s = jnp.concatenate([jnp.mean(xf, -1, keepdims=True), jnp.max(xf, -1, keepdims=True)], axis=-1)
+        w = jax.nn.sigmoid(self.cv1(v["cv1"], s.astype(ctx.dtype), ctx).astype(jnp.float32))
+        return (xf * w).astype(ctx.dtype)
+
+
+class CBAM(Module):
+    """Channel + spatial attention (reference conv.py:309)."""
+
+    def __init__(self, c1, kernel_size=7):
+        self.channel_attention = ChannelAttention(c1)
+        self.spatial_attention = SpatialAttention(kernel_size)
+
+    def __call__(self, v, x, ctx: Ctx):
+        return self.spatial_attention(
+            v["spatial_attention"], self.channel_attention(v["channel_attention"], x, ctx), ctx
+        )
 
 
 class Concat(Module):

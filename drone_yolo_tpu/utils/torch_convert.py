@@ -46,6 +46,13 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             v["bias"] = _np(sd[f"{prefix}.bias"])
         return v
 
+    if isinstance(mod, M.ConvTranspose2dRaw):
+        # torch ConvTranspose2d weight is (in, out, kh, kw) -> HWIO
+        v = {"kernel": np.transpose(_np(sd[f"{prefix}.weight"]), (2, 3, 0, 1))}
+        if mod.bias:
+            v["bias"] = _np(sd[f"{prefix}.bias"])
+        return v
+
     if isinstance(mod, M.RepVGGBlock):
         v = {
             "dense": {"conv": {"kernel": _conv_w(sd[f"{prefix}.rbr_dense.conv.weight"])}, "bn": _bn(sd, f"{prefix}.rbr_dense.bn")},
@@ -55,7 +62,9 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             v["idbn"] = _bn(sd, f"{prefix}.rbr_identity")
         return v
 
-    if isinstance(mod, M._Seq):
+    from drone_yolo_tpu.nn.build import _RepeatSeq
+
+    if isinstance(mod, (M._Seq, _RepeatSeq)):
         # torch side is nn.Sequential: children live directly at prefix.{j}
         return {"m": {str(j): convert_module(child, sd, f"{prefix}.{j}") for j, child in enumerate(mod.m)}}
 
