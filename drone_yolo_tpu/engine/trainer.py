@@ -179,6 +179,13 @@ class BaseTrainer(CallbackMixin):
         self.criterion = self.get_criterion()
         self.stopper = EarlyStopping(patience=self.args.patience)
 
+        # bf16 sanity probe (replaces the reference's check_amp, checks.py:651)
+        if self.args.amp:
+            from drone_yolo_tpu.utils.checks import check_numeric_stability
+
+            if not check_numeric_stability(self.model, self.variables, imgsz=64):
+                LOGGER.warning("bf16 deviation detected; consider amp=False (fp32 activations)")
+
         # state pytree (replicated over the mesh)
         labels = label_tree(self.variables)
         self.labels = labels
