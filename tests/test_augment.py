@@ -1,0 +1,84 @@
+"""Augmentation pipeline invariants: boxes stay valid through mosaic/affine/flip."""
+
+import numpy as np
+import pytest
+
+from make_dataset import make_dataset
+from drone_yolo_tpu.data.augment import LetterBoxT, RandomFlip, RandomPerspective, clip_sample
+from drone_yolo_tpu.data.dataset import YOLODataset
+from drone_yolo_tpu.utils import IterableSimpleNamespace
+
+
+def _hyp(**kw):
+    base = dict(
+        mosaic=1.0, mixup=0.0, copy_paste=0.0, degrees=10.0, translate=0.1, scale=0.5,
+        shear=2.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, flipud=0.5,
+        fliplr=0.5, bgr=0.0, mask_ratio=4,
+    )
+    base.update(kw)
+    return IterableSimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("augset")
+    yaml_path = make_dataset(root, n_train=8, n_val=2, size=128, nc=3, seed=3)
+    return YOLODataset(str(root / "images" / "train"), imgsz=96, augment=True, hyp=_hyp(), data={"nc": 3}, batch_size=4)
+
+
+def test_augmented_samples_valid(dataset):
+    import random
+
+    random.seed(0)
+    np.random.seed(0)
+    for i in range(len(dataset)):
+        s = dataset[i]
+        img, boxes, cls = s["img"], s["bboxes"], s["cls"]
+        assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+        assert len(boxes) == len(cls)
+        if len(boxes):
+            assert (boxes[:, 0] <= boxes[:, 2]).all() and (boxes[:, 1] <= boxes[:, 3]).all()
+            assert boxes.min() >= -1e-3 and boxes.max() <= 96 + 1e-3
+
+
+def test_flip_involution():
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+    boxes = np.array([[10, 12, 30, 40]], np.float32)
+    s = {"img": img.copy(), "cls": np.array([0.0]), "bboxes": boxes.copy()}
+    f = RandomFlip(p=1.0, direction="horizontal")
+    s = f(f(s))  # double flip = identity
+    np.testing.assert_allclose(s["bboxes"], boxes, atol=1e-5)
+    np.testing.assert_array_equal(s["img"], img)
+
+
+def test_letterbox_transform_updates_boxes():
+    img = np.full((50, 100, 3), 100, np.uint8)
+    boxes = np.array([[10, 10, 90, 40]], np.float32)
+    s = {"img": img, "cls": np.array([0.0]), "bboxes": boxes.copy()}
+    out = LetterBoxT((64, 64), scaleup=True)(s)
+    assert out["img"].shape == (64, 64, 3)
+    r, (dw, dh) = out["ratio_pad"]
+    np.testing.assert_allclose(out["bboxes"][0], boxes[0] * r + [dw, dh, dw, dh], atol=0.5)
+
+
+def test_collate_padding(dataset):
+    samples = [dataset[i] for i in range(4)]
+    batch = dataset.collate(samples)
+    b, m = batch["cls"].shape
+    assert b == 4 and m == dataset.max_labels
+    assert batch["mask"].sum() == sum(min(len(s["cls"]), m) for s in samples)
+    # padded slots are zero
+    for i, s in enumerate(samples):
+        n = min(len(s["cls"]), m)
+        assert (batch["bboxes"][i, n:] == 0).all()
+
+
+def test_clip_sample_drops_empty():
+    s = {
+        "img": np.zeros((32, 32, 3), np.uint8),
+        "cls": np.array([0.0, 1.0]),
+        "bboxes": np.array([[5, 5, 20, 20], [32.0, 32.0, 40, 40]], np.float32),
+    }
+    out = clip_sample(s, (32, 32))
+    assert len(out["bboxes"]) == 1 and out["cls"][0] == 0.0
