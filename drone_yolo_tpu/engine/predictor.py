@@ -133,7 +133,34 @@ class BasePredictor(CallbackMixin):
 
     # -- pipeline -----------------------------------------------------------
     def preprocess(self, imgs):
-        """Letterbox + BGR->RGB + [0,1] NHWC float batch."""
+        """Letterbox + BGR->RGB + [0,1] NHWC float batch.
+
+        When every frame in the batch shares one shape (the video/stream case),
+        the whole preprocess moves on-device: the host ships raw uint8 and a
+        jitted resize+pad+normalize runs fused ahead of the model — this keeps
+        the single-core host out of the hot loop (reference pins preprocess on
+        CPU workers, predictor.py:118-136)."""
+        shapes = {im.shape for im in imgs}
+        if len(shapes) == 1 and len(imgs) > 0 and not self.args.visualize:
+            h, w = imgs[0].shape[:2]
+            from drone_yolo_tpu.ops.letterbox import letterbox_params
+
+            r, (dw, dh), _ = letterbox_params((h, w), self.imgsz)
+            self.batch_ratio_pad = [(r, (dw, dh))] * len(imgs)
+            raw = np.stack([im[:, :, ::-1] for im in imgs])  # BGR -> RGB, uint8
+            key = ("lb", raw.shape, tuple(self.imgsz))
+            if key not in self._jit_cache:
+                from drone_yolo_tpu.ops.letterbox import letterbox_device
+
+                imgsz = tuple(self.imgsz)
+
+                @jax.jit
+                def lb(raw):
+                    x = raw.astype(jnp.float32) / 255.0
+                    return letterbox_device(x, imgsz)[0]
+
+                self._jit_cache[key] = lb
+            return self._jit_cache[key](jnp.asarray(raw))
         processed = []
         self.batch_ratio_pad = []
         for im in imgs:
