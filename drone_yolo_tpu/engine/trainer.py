@@ -227,6 +227,7 @@ class BaseTrainer(CallbackMixin):
             self.scale_buckets = [base_imgsz]
 
         def step_fn(state, batch, lr_w, lr_b, mom, target_sz):
+            step_rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed), state["step"])
             img = batch["img"]
             if img.shape[1] != target_sz:
                 b = img.shape[0]
@@ -240,7 +241,7 @@ class BaseTrainer(CallbackMixin):
                     batch["keypoints"] = jnp.concatenate([kp[..., :2] * scale, kp[..., 2:]], axis=-1)
 
             def loss_fn(params):
-                ctx = M.Ctx(train=True, dtype=dtype)
+                ctx = M.Ctx(train=True, dtype=dtype, targets=batch, rng=step_rng)
                 out = model.apply(params, batch["img"], ctx=ctx)
                 loss, items = criterion(out, batch)
                 return loss, (items, ctx.updates)

@@ -115,10 +115,41 @@ class RTDETRDetectionLoss:
         loss_giou = jnp.sum((1.0 - giou) * matched) / n_gt
         return self.g_cls * loss_cls, self.g_box * loss_box, self.g_giou * loss_giou
 
+    def _dn_loss(self, pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, dn_meta):
+        """Fixed-assignment loss on the denoising block: positive copy i of GT j
+        is assigned to GT j by construction (no matching)."""
+        b, d4 = dn_meta["dn_pos"].shape
+        m = gt_boxes.shape[1]
+        reps = d4 // m
+        tgt_boxes = jnp.tile(gt_boxes, (1, reps, 1))
+        tgt_cls_ids = jnp.tile(jnp.clip(gt_cls.astype(jnp.int32), 0, self.nc - 1), (1, reps))
+        pos = dn_meta["dn_pos"] * dn_meta["dn_valid"]  # (B, D)
+
+        iou = jnp.clip(bbox_iou(xywh2xyxy(pred_boxes), xywh2xyxy(tgt_boxes), xywh=False), 0, None)
+        iou = jax.lax.stop_gradient(iou) * pos
+        tgt_onehot = jax.nn.one_hot(tgt_cls_ids, self.nc) * pos[..., None]
+        tgt_score = tgt_onehot * iou[..., None]
+        score = jax.nn.sigmoid(pred_scores)
+        alpha, gamma = 0.75, 2.0
+        weight = alpha * (score**gamma) * (1 - tgt_onehot) + tgt_score
+        bce = jnp.maximum(pred_scores, 0) - pred_scores * tgt_score + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+        n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+        l1 = jnp.sum(jnp.abs(pred_boxes - tgt_boxes), axis=-1) * pos
+        giou = bbox_iou(xywh2xyxy(pred_boxes * pos[..., None]), xywh2xyxy(tgt_boxes * pos[..., None]), xywh=False, GIoU=True)
+        return (
+            self.g_cls * jnp.sum(bce * weight) / n_pos,
+            self.g_box * jnp.sum(l1) / n_pos,
+            self.g_giou * jnp.sum((1.0 - giou) * pos) / n_pos,
+        )
+
     def __call__(self, outs, targets):
-        """outs = (dec_bboxes (L,B,Q,4), dec_scores (L,B,Q,nc), enc_bboxes, enc_scores);
-        targets: {"cls" (B,M), "bboxes" (B,M,4) pixel xyxy, "mask" (B,M), "imgsz": int}."""
-        dec_bboxes, dec_scores, enc_bboxes, enc_scores = outs
+        """outs = (dec_bboxes (L,B,D+Q,4), dec_scores, enc_bboxes, enc_scores[, dn_meta]);
+        targets: {"cls" (B,M), "bboxes" (B,M,4) pixel xyxy, "mask" (B,M), "img": ...}."""
+        dn_meta = None
+        if len(outs) == 5:
+            dec_bboxes, dec_scores, enc_bboxes, enc_scores, dn_meta = outs
+        else:
+            dec_bboxes, dec_scores, enc_bboxes, enc_scores = outs
         imgsz = float(targets["img"].shape[1]) if "img" in targets else float(targets.get("imgsz", 640.0))
         gt_mask = targets["mask"].astype(jnp.float32)
         gt_cls = targets["cls"]
@@ -126,9 +157,17 @@ class RTDETRDetectionLoss:
         gt_boxes = jnp.concatenate([(bb[..., :2] + bb[..., 2:]) / 2, bb[..., 2:] - bb[..., :2]], axis=-1)
         gt_boxes = gt_boxes * gt_mask[..., None]
 
+        d = dn_meta["d"] if dn_meta is not None else 0
         total_cls = total_box = total_giou = jnp.zeros(())
         layers = [(enc_bboxes, enc_scores)] + [(dec_bboxes[i], dec_scores[i]) for i in range(dec_bboxes.shape[0])]
-        for pb, ps in layers:
+        for li, (pb, ps) in enumerate(layers):
+            if li > 0 and d:  # decoder layers carry the dn block up front
+                dn_pb, pb = pb[:, :d], pb[:, d:]
+                dn_ps, ps = ps[:, :d], ps[:, d:]
+                lc, lb, lg = self._dn_loss(dn_pb, dn_ps, gt_boxes, gt_cls, gt_mask, dn_meta)
+                total_cls += lc
+                total_box += lb
+                total_giou += lg
             assigned = self._match(jax.lax.stop_gradient(pb), jax.lax.stop_gradient(ps), gt_boxes, gt_cls, gt_mask)
             lc, lb, lg = self._layer_loss(pb, ps, gt_boxes, gt_cls, gt_mask, assigned)
             total_cls += lc
@@ -136,5 +175,4 @@ class RTDETRDetectionLoss:
             total_giou += lg
 
         items = jnp.stack([total_cls, total_box, total_giou])
-        b = dec_bboxes.shape[1]
         return jnp.sum(items), jax.lax.stop_gradient(items)

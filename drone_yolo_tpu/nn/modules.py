@@ -54,6 +54,9 @@ class Ctx:
     dtype: Any = jnp.bfloat16
     updates: dict = field(default_factory=dict)
     text: Any = None
+    targets: Any = None  # padded GT dict for heads needing train-time targets (RT-DETR CDN)
+    rng: Any = None  # PRNG key for train-time stochastic heads
+    aux: dict = field(default_factory=dict)  # head -> extra train outputs (e.g. dn_meta)
 
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:

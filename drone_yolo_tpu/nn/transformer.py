@@ -279,6 +279,8 @@ class RTDETRDecoder(Module):
     with pure query selection + Hungarian matching.
     """
 
+    stride = [8, 16, 32]
+
     def __init__(self, nc=80, ch=(512, 1024, 2048), hd=256, nq=300, ndp=4, nh=8, ndl=6, d_ffn=1024, eval_idx=-1, learnt_init_query=False, **_):
         self.nc = nc
         self.nl = len(ch)
@@ -362,13 +364,33 @@ class RTDETRDecoder(Module):
             refer = jax.lax.stop_gradient(refer)
             embed = jax.lax.stop_gradient(embed)
 
+        # contrastive denoising block (training with targets only)
+        attn_mask = None
+        dn_d = 0
+        if ctx.train and ctx.targets is not None and ctx.rng is not None:
+            from drone_yolo_tpu.models.rtdetr.cdn import build_cdn_group
+
+            t = ctx.targets
+            imgsz = float(shapes[0][0] * self.stride[0])  # P3 stride-8 level
+            bbp = t["bboxes"].astype(jnp.float32) / imgsz  # normalized xyxy
+            gt_boxes_n = jnp.concatenate([(bbp[..., :2] + bbp[..., 2:]) / 2, bbp[..., 2:] - bbp[..., :2]], axis=-1)
+            cdn = build_cdn_group(
+                ctx.rng, t["cls"].astype(jnp.int32), gt_boxes_n, t["mask"], self.nc, nq
+            )
+            dn_embed = v["denoising_class_embed"][cdn["dn_cls"]]  # (B, D, hd)
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], axis=1)
+            refer = jnp.concatenate([cdn["dn_bbox_logit"], refer], axis=1)
+            attn_mask = cdn["attn_mask"]
+            dn_d = cdn["d"]
+            ctx.aux["dn_meta"] = {k: cdn[k] for k in ("dn_cls", "dn_valid", "dn_pos", "d", "num_group")}
+
         refer_bbox = jax.nn.sigmoid(refer)
         dec_bboxes, dec_scores = [], []
         last_refined = None
         out = embed
         for i, layer in enumerate(self.layers):
             qp = self.query_pos_head(v["query_pos_head"], refer_bbox, ctx)
-            out = layer(v["layers"][str(i)], out, refer_bbox, feats, shapes, ctx, query_pos=qp)
+            out = layer(v["layers"][str(i)], out, refer_bbox, feats, shapes, ctx, query_pos=qp, attn_mask=attn_mask)
             bbox = self.dec_bbox_head[i](v["dec_bbox_head"][str(i)], out, ctx)
             refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer_bbox))
             if ctx.train:
@@ -381,10 +403,10 @@ class RTDETRDecoder(Module):
             last_refined = refined
             refer_bbox = jax.lax.stop_gradient(refined) if ctx.train else refined
 
-        dec_bboxes = jnp.stack(dec_bboxes)  # (L, B, nq, 4)
+        dec_bboxes = jnp.stack(dec_bboxes)  # (L, B, dn+nq, 4)
         dec_scores = jnp.stack(dec_scores)
         if ctx.train:
-            return dec_bboxes, dec_scores, enc_bboxes, enc_topk_scores
+            return dec_bboxes, dec_scores, enc_bboxes, enc_topk_scores, ctx.aux.get("dn_meta")
         # (B, nq, 4 + nc): normalized cxcywh + sigmoid scores
         return jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], axis=-1), None
 
