@@ -372,6 +372,10 @@ class BaseTrainer(CallbackMixin):
                 break
 
         LOGGER.info(f"\n{self.epochs - self.start_epoch} epochs completed in {(time.time() - t0) / 3600:.3f} hours.")
+        if self.args.plots and jax.process_index() == 0:
+            from drone_yolo_tpu.utils.plotting import plot_results
+
+            plot_results(file=str(self.save_dir / "results.csv"))
         self.run_callbacks("on_train_end")
 
     def validate(self):
