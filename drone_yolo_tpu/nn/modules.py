@@ -900,13 +900,16 @@ class ImagePoolingAttn(Module):
         pooled = []
         for i, x in enumerate(xs):
             p = self.projections[i](v["projections"][str(i)], x, ctx)  # (B, H, W, ec)
-            # adaptive max-pool to k x k
+            # adaptive max-pool to k x k (torch AdaptiveMaxPool2d semantics:
+            # bin i spans [floor(i*H/k), ceil((i+1)*H/k)); handles H < k)
             bb, h, w, c = p.shape
-            ph = h // self.k * self.k
-            pw = w // self.k * self.k
-            p = p[:, :ph, :pw, :].reshape(bb, self.k, ph // self.k, self.k, pw // self.k, c)
-            p = jnp.max(p, axis=(2, 4))  # (B, k, k, ec)
-            pooled.append(p.reshape(bb, self.k * self.k, c))
+            rows = []
+            for iy in range(self.k):
+                y0, y1 = (iy * h) // self.k, -(-((iy + 1) * h) // self.k)
+                for ix in range(self.k):
+                    x0, x1 = (ix * w) // self.k, -(-((ix + 1) * w) // self.k)
+                    rows.append(jnp.max(p[:, y0:max(y1, y0 + 1), x0:max(x1, x0 + 1), :], axis=(1, 2)))
+            pooled.append(jnp.stack(rows, axis=1))  # (B, k*k, ec)
         feats = jnp.concatenate(pooled, axis=1)  # (B, nf*k*k, ec)
         q = self.query(v["query"], text, ctx).reshape(b, -1, self.nh, self.hc)
         kk = self.key(v["key"], feats, ctx).reshape(b, -1, self.nh, self.hc)
