@@ -70,6 +70,8 @@ REGISTRY = {
     "HGBlock": M.HGBlock,
     "RepC3": M.RepC3,
     "Concat": M.Concat,
+    "nn.Identity": M.Identity,
+    "Identity": M.Identity,
     "CBAM": M.CBAM,
     "ChannelAttention": M.ChannelAttention,
     "SpatialAttention": M.SpatialAttention,

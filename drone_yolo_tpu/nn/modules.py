@@ -429,6 +429,16 @@ class CBAM(Module):
         )
 
 
+class Identity(Module):
+    """Pass-through (torch nn.Identity analog; used by v9-e's dual-branch stem)."""
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, x, ctx: Ctx):
+        return x
+
+
 class Concat(Module):
     """Concat along channels (reference conv.py:323). NHWC: torch dim 1 -> axis -1."""
 
