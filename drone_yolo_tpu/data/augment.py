@@ -364,7 +364,8 @@ class LetterBoxT:
         self.center = center
 
     def __call__(self, labels):
-        img, r, (dw, dh) = letterbox_np(labels["img"], self.new_shape, center=self.center, scaleup=self.scaleup)
+        new_shape = labels.pop("rect_shape", None) or self.new_shape
+        img, r, (dw, dh) = letterbox_np(labels["img"], new_shape, center=self.center, scaleup=self.scaleup)
         labels["img"] = img
         if len(labels["bboxes"]):
             b = labels["bboxes"] * r

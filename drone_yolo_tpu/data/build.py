@@ -22,12 +22,16 @@ from drone_yolo_tpu.utils import LOGGER
 
 
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train", stride: int = 32, max_labels=None):
-    """Construct a YOLODataset from a merged config (reference build.py:96)."""
-    if getattr(cfg, "rect", False):
-        LOGGER.warning(
-            "rect=True: aspect-bucketed batching would force one XLA compile per "
-            "bucket; using square letterbox shapes instead (TPU static-shape policy)"
-        )
+    """Construct a YOLODataset from a merged config (reference build.py:96).
+
+    rect=True is honored for val/eval only: per-batch aspect-quantized shapes
+    exactly as the reference (`data/base.py:261`), with the distinct-shape count
+    bounded (default 8) so XLA compiles stay bounded. Train mode keeps square
+    static shapes (multi-scale happens via bucketed resize inside the step).
+    """
+    rect = bool(getattr(cfg, "rect", False)) and mode != "train"
+    if getattr(cfg, "rect", False) and mode == "train":
+        LOGGER.warning("rect=True ignored for training (TPU static-shape policy); using square letterbox")
     return YOLODataset(
         img_path=img_path,
         imgsz=cfg.imgsz,
@@ -43,6 +47,9 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         data=data,
         task=getattr(cfg, "task", "detect"),
         max_labels=max_labels,
+        rect=rect,
+        pad=0.0 if mode == "train" else 0.5,
+        rect_max_shapes=int(getattr(cfg, "rect_max_shapes", 8) or 8),
     )
 
 

@@ -46,6 +46,8 @@ class YOLODataset:
         data: dict | None = None,
         task: str = "detect",
         max_labels: int | None = None,
+        rect: bool = False,
+        rect_max_shapes: int = 8,
     ):
         self.img_path = img_path
         self.imgsz = imgsz
@@ -66,9 +68,15 @@ class YOLODataset:
         self.ni = len(self.labels)
         self.batch_size = batch_size
         self.stride = stride
+        self.pad = pad
         self.hyp = hyp
         self.cache = cache
         self._ram: dict = {}
+        self.rect = rect and not augment
+        self.batch_shapes = None
+        self.batch = None
+        if self.rect:
+            self.set_rectangle(rect_max_shapes)
         # static label padding: longest label list, with headroom for mosaic(x4)+mixup
         n_max = max((len(l["cls"]) for l in self.labels), default=1)
         self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * 5, 1))))), 2048)
@@ -157,6 +165,49 @@ class YOLODataset:
             for l in self.labels:
                 l["cls"][:] = 0
 
+    # -- rect batching -----------------------------------------------------------
+    def set_rectangle(self, max_shapes: int = 8):
+        """Aspect-sorted rectangular batch planning (reference base.py:261).
+
+        Same math as the reference: sort by aspect ratio, one target shape per
+        batch of `batch_size`, quantized to `stride` with a `pad` half-stride
+        border. TPU addition: if the number of distinct batch shapes exceeds
+        `max_shapes`, the quantization stride is doubled until the compiled-shape
+        count is bounded (each merge only grows padding, never crops content).
+        """
+        bi = np.floor(np.arange(self.ni) / self.batch_size).astype(int)
+        nb = int(bi[-1]) + 1
+        s = np.array([l["shape"] for l in self.labels], np.float64)  # (h, w)
+        ar = s[:, 0] / s[:, 1]
+        irect = ar.argsort()
+        self.labels = [self.labels[i] for i in irect]
+        self.im_files = [l["im_file"] for l in self.labels]
+        ar = ar[irect]
+
+        shapes = np.ones((nb, 2), np.float64)
+        for i in range(nb):
+            ari = ar[bi == i]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                shapes[i] = [maxi, 1]
+            elif mini > 1:
+                shapes[i] = [1, 1 / mini]
+
+        q = self.stride
+        while True:
+            batch_shapes = (np.ceil(shapes * self.imgsz / q + self.pad) * q).astype(int)
+            n_distinct = len({tuple(x) for x in batch_shapes})
+            if n_distinct <= max_shapes or q >= self.imgsz:
+                break
+            q *= 2
+        if q != self.stride:
+            LOGGER.info(
+                f"{self.prefix}rect: merged batch shapes to {n_distinct} compiled "
+                f"shapes (quantization {q}px)"
+            )
+        self.batch_shapes = batch_shapes
+        self.batch = bi
+
     # -- sample access ---------------------------------------------------------
     def load_image(self, i):
         """Read image i (RGB HWC uint8), resized so long side == imgsz (reference base.py:161)."""
@@ -201,6 +252,8 @@ class YOLODataset:
             k[..., 0] *= w
             k[..., 1] *= h
             out["keypoints"] = k.astype(np.float32)
+        if self.rect:
+            out["rect_shape"] = tuple(int(x) for x in self.batch_shapes[self.batch[i]])
         return out
 
     def __len__(self):

@@ -101,7 +101,7 @@ class YOLO:
     def val(self, data=None, **kwargs):
         from drone_yolo_tpu.models.yolo import TASK_MAP
 
-        custom = {"rect": False, "mode": "val"}
+        custom = {"rect": True, "mode": "val"}  # reference model.py:637 method default
         args = {**self.overrides, **custom, **kwargs}
         if data is not None:
             args["data"] = data

@@ -130,7 +130,7 @@ class BaseTrainer(CallbackMixin):
         from drone_yolo_tpu.models.yolo import TASK_MAP
 
         v = TASK_MAP[self.args.task]["validator"](
-            args={**vars(self.args), "mode": "val", "rect": False, "conf": 0.001, "plots": False},
+            args={**vars(self.args), "mode": "val", "conf": 0.001, "plots": False},
             save_dir=self.save_dir,
         )
         return v
@@ -334,12 +334,13 @@ class BaseTrainer(CallbackMixin):
                 if self.args.plots and ni < 3 and "bboxes" in batch:
                     from drone_yolo_tpu.utils.plotting import plot_images
 
-                    bi = np.repeat(np.arange(len(batch["cls"])), batch["cls"].shape[1]) if len(batch["cls"]) else []
+                    valid = batch["mask"].reshape(-1).astype(bool)
+                    bi = np.repeat(np.arange(batch["cls"].shape[0]), batch["cls"].shape[1])
                     plot_images(
                         batch["img"].astype(np.float32) / 255.0,
-                        np.repeat(np.arange(batch["cls"].shape[0]), batch["cls"].shape[1]),
-                        batch["cls"].reshape(-1),
-                        batch["bboxes"].reshape(-1, 4),
+                        bi[valid],
+                        batch["cls"].reshape(-1)[valid],
+                        batch["bboxes"].reshape(-1, 4)[valid],
                         fname=self.save_dir / f"train_batch{ni}.jpg",
                         names=self.model.names,
                     )

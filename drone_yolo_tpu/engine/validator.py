@@ -204,14 +204,61 @@ class BaseValidator(CallbackMixin):
                 }
             )
 
-    def eval_json(self):
-        """pycocotools COCOeval if available (reference detect/val.py:310)."""
-        try:
-            from pycocotools.coco import COCO  # noqa: F401
+    def _gt_coco_dict(self):
+        """Build a COCO-format GT dict from the val dataset labels (original
+        pixel space, 0-based contiguous category ids matching pred_to_json)."""
+        ds = self.dataloader.dataset
+        images, annotations = [], []
+        ann_id = 1
+        for lb in ds.labels:
+            stem = Path(lb["im_file"]).stem
+            image_id = int(stem) if stem.isnumeric() else stem
+            h, w = lb["shape"]
+            images.append({"id": image_id, "height": int(h), "width": int(w)})
+            for c, bn in zip(lb["cls"], lb["bboxes_n"]):
+                cx, cy, bw, bh = bn
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": image_id,
+                        "category_id": int(c),
+                        "bbox": [float((cx - bw / 2) * w), float((cy - bh / 2) * h), float(bw * w), float(bh * h)],
+                        "area": float(bw * w * bh * h),
+                        "iscrowd": 0,
+                    }
+                )
+                ann_id += 1
+        cats = [{"id": i, "name": str(n)} for i, n in (self.names.items() if isinstance(self.names, dict) else enumerate(self.names))]
+        return {"images": images, "annotations": annotations, "categories": cats}
 
-            LOGGER.info("pycocotools available; run COCOeval externally on predictions.json")
+    def eval_json(self):
+        """COCO-protocol mAP on predictions.json (reference detect/val.py:310-341).
+
+        Uses pycocotools when importable; otherwise the vendored numpy COCOeval
+        (`utils/cocoeval.py`), which implements the same protocol. Returns the
+        stats dict and logs AP / AP50.
+        """
+        gt = self._gt_coco_dict()
+        try:
+            from pycocotools.coco import COCO
+            from pycocotools.cocoeval import COCOeval
+
+            coco_gt = COCO()
+            coco_gt.dataset = gt
+            coco_gt.createIndex()
+            coco_dt = coco_gt.loadRes(self.jdict)
+            ev = COCOeval(coco_gt, coco_dt, "bbox")
+            ev.evaluate()
+            ev.accumulate()
+            ev.summarize()
+            stats = {"AP": float(ev.stats[0]), "AP50": float(ev.stats[1])}
         except ImportError:
-            LOGGER.info("pycocotools not installed; skipping COCO mAP evaluation")
+            from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+            stats = COCOevalNP(gt, self.jdict).run()
+        LOGGER.info(f"COCO eval: AP={stats['AP']:.4f} AP50={stats['AP50']:.4f}")
+        self.coco_stats = stats
+        return stats
 
 
 class DetectionValidator(BaseValidator):

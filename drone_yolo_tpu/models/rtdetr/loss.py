@@ -1,35 +1,38 @@
-"""RT-DETR training loss: Hungarian matching + VFL/L1/GIoU with aux layers.
+"""RT-DETR training loss: exact Hungarian matching + VFL/L1/GIoU with aux layers.
 
 Capability parity with `ultralytics/models/utils/loss.py:1-357` (DETRLoss,
 RTDETRDetectionLoss) and `models/utils/ops.py` (HungarianMatcher).
 
-TPU note: the Hungarian assignment is combinatorial and tiny (Q x M per image);
-it runs on host via `jax.pure_callback` into scipy while everything around it
-stays jitted. Padded GT slots carry zero mask and are excluded by +inf cost.
+TPU note: host callbacks are unavailable inside jit on this runtime, so the
+matcher cannot call scipy; matching runs fully on device via the exact
+Hungarian solver in `ops/lap.py` (verified against scipy in tests/test_lap.py).
+Padded GT slots are skipped by the solver's row mask.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from drone_yolo_tpu.ops.boxes import bbox_iou, xywh2xyxy
+from drone_yolo_tpu.ops.lap import linear_sum_assignment
+
+
+def hungarian_assignment(cost, gt_mask):
+    """Exact min-cost bipartite assignment on device.
+
+    cost: (B, Q, M); gt_mask: (B, M). Returns (B, M) int32 query index per GT
+    (padded GT slots get an arbitrary query; callers mask by gt_mask).
+    """
+    c = jnp.swapaxes(cost, 1, 2)  # rows = GT (small side), cols = queries
+    return linear_sum_assignment(c, gt_mask > 0)
 
 
 def greedy_assignment(cost, gt_mask):
-    """On-device greedy min-cost bipartite assignment.
+    """On-device greedy min-cost bipartite assignment (kept for comparison and
+    as a cheaper fallback; `hungarian_assignment` is the default matcher).
 
     cost: (B, Q, M); gt_mask: (B, M). Returns (B, M) int32 query index per GT.
-
-    Design note: scipy's exact Hungarian would need a host callback, which the
-    TPU runtime here does not support (`pure_callback` unimplemented on this
-    PJRT platform), so matching runs as M iterations of a masked global argmin —
-    each step commits the cheapest remaining (query, gt) pair. With nq >> n_gt
-    and well-separated costs this equals the exact assignment in the common
-    case; it is a documented approximation otherwise.
     """
     b, q, m = cost.shape
     big = jnp.asarray(1e9, cost.dtype)
@@ -82,7 +85,7 @@ class RTDETRDetectionLoss:
             xywh2xyxy(pred_boxes)[:, :, None, :], xywh2xyxy(gt_boxes)[:, None, :, :], xywh=False, GIoU=True
         )
         cost = self.g_cls * cost_cls + self.g_box * cost_l1 + self.g_giou * (1.0 - giou)
-        return greedy_assignment(jax.lax.stop_gradient(cost), gt_mask)
+        return hungarian_assignment(jax.lax.stop_gradient(cost), gt_mask)
 
     def _layer_loss(self, pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, assigned):
         b, q, _ = pred_scores.shape

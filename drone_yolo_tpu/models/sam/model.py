@@ -82,18 +82,32 @@ class SAM:
             self.variables = self.model.init(jax.random.PRNGKey(seed))
         return self.variables
 
+    # reference SAMModel pixel normalization (modules/sam.py pixel_mean/std)
+    PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+    PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
     def set_image(self, img):
-        """Embed an image once (HWC uint8 RGB/BGR); prompts reuse the embedding."""
+        """Embed an image once (HWC uint8 RGB); prompts reuse the embedding.
+
+        Reference preprocessing (ResizeLongestSide + pad + mean/std normalize):
+        long side resized to img_size, bottom/right padded to square."""
         import cv2
 
         v = self.ensure_variables()
         s = self.model.img_size
-        im = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
-        x = jnp.asarray(im[None].astype(np.float32) / 255.0)
+        oh, ow = img.shape[:2]
+        r = s / max(oh, ow)
+        nh, nw = int(round(oh * r)), int(round(ow * r))
+        im = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        im = (im - self.PIXEL_MEAN) / self.PIXEL_STD
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = im
+        x = jnp.asarray(canvas[None])
         if "encode" not in self._jit:
             self._jit["encode"] = jax.jit(lambda v, x: self.model.encode_image(v, x, Ctx(train=False, dtype=jnp.float32)))
         self._embed_cache = self._jit["encode"](v, x)
-        self._orig_shape = img.shape[:2]
+        self._orig_shape = (oh, ow)
+        self._resized_shape = (nh, nw)
         return self
 
     def predict_prompts(self, points=None, labels=None, box=None, multimask: bool = True):
@@ -103,13 +117,14 @@ class SAM:
         assert self._embed_cache is not None, "call set_image first"
         s = self.model.img_size
         oh, ow = self._orig_shape
+        r = s / max(oh, ow)  # uniform long-side scale (reference ResizeLongestSide)
         pts, lbl = [], []
         if points is not None:
-            p = np.asarray(points, np.float32).reshape(-1, 2) * [s / ow, s / oh]
+            p = np.asarray(points, np.float32).reshape(-1, 2) * r
             pts.append(p)
             lbl.append(np.asarray(labels if labels is not None else np.ones(len(p)), np.int32))
         if box is not None:
-            bx = np.asarray(box, np.float32).reshape(2, 2) * [s / ow, s / oh]
+            bx = np.asarray(box, np.float32).reshape(2, 2) * r
             pts.append(bx)
             lbl.append(np.asarray([2, 3], np.int32))
         if not pts:
@@ -126,8 +141,12 @@ class SAM:
         masks, iou = self._jit[key](self.variables, self._embed_cache, points_a, labels_a)
         import cv2
 
-        m = np.asarray(masks)[0]  # (T, 256, 256)
-        out = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in m]) > 0
+        m = np.asarray(masks)[0].astype(np.float32)  # (T, 256, 256) logits on padded square
+        # crop away the pad region, then resize to the original frame
+        mh, mw = m.shape[1:]
+        nh, nw = self._resized_shape
+        ch, cw = max(1, round(mh * nh / s)), max(1, round(mw * nw / s))
+        out = np.stack([cv2.resize(mm[:ch, :cw], (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in m]) > 0
         return out, np.asarray(iou)[0]
 
     def __call__(self, source, points=None, labels=None, bboxes=None, multimask: bool = True):

@@ -37,12 +37,15 @@ class LayerNorm2d(Module):
 
 
 class MLPBlock(Module):
-    def __init__(self, dim, mlp_dim):
+    def __init__(self, dim, mlp_dim, act="gelu"):
         self.lin1 = Linear(dim, mlp_dim)
         self.lin2 = Linear(mlp_dim, dim)
+        self.act = act
 
     def __call__(self, v, x, ctx: Ctx):
-        return self.lin2(v["lin2"], jax.nn.gelu(self.lin1(v["lin1"], x, ctx), approximate=False), ctx)
+        y = self.lin1(v["lin1"], x, ctx)
+        y = jax.nn.relu(y) if self.act == "relu" else jax.nn.gelu(y, approximate=False)
+        return self.lin2(v["lin2"], y, ctx)
 
 
 def _rel_pos_embed(q_size, k_size, rel_pos):
@@ -165,7 +168,13 @@ class ImageEncoderViT(Module):
         return v
 
     def __call__(self, v, x, ctx: Ctx):
-        y = self.patch_embed(v["patch_embed"], x, ctx) + v["pos_embed"].astype(ctx.dtype)
+        y = self.patch_embed(v["patch_embed"], x, ctx)
+        pe = v["pos_embed"]
+        if pe.shape[1:3] != y.shape[1:3]:
+            # checkpoint table is 1024-native; nearest-resize to the actual grid
+            # (reference encoders.py:132 F.interpolate, mode=nearest)
+            pe = jax.image.resize(pe, (1, y.shape[1], y.shape[2], pe.shape[3]), method="nearest")
+        y = y + pe.astype(y.dtype)
         for i, blk in enumerate(self.blocks):
             y = blk(v["blocks"][str(i)], y, ctx)
         y = self.neck1(v["neck1"], y, ctx)
@@ -212,8 +221,10 @@ class PromptEncoder(Module):
         return self.pe_encode(v, grid)  # (h, w, dim)
 
     def encode_points(self, v, points, labels):
-        """points (B, P, 2) pixels; labels (B, P): 1 fg, 0 bg, -1 pad, 2/3 box corners."""
-        coords = points / jnp.asarray([self.input_size[1], self.input_size[0]], jnp.float32)
+        """points (B, P, 2) pixels; labels (B, P): 1 fg, 0 bg, -1 pad, 2/3 box corners.
+
+        +0.5 shifts to the pixel center (reference encoders.py _embed_points)."""
+        coords = (points + 0.5) / jnp.asarray([self.input_size[1], self.input_size[0]], jnp.float32)
         pe = self.pe_encode(v, coords)  # (B, P, dim)
         lbl = labels.astype(jnp.int32)
         emb = jnp.where((lbl == -1)[..., None], v["not_a_point"][0] + jnp.zeros_like(pe), pe)
@@ -257,15 +268,20 @@ class TwoWayBlock(Module):
         self.norm1 = LayerNorm(dim)
         self.cross_t2i = TwoWayAttention(dim, num_heads, downsample_rate=2)
         self.norm2 = LayerNorm(dim)
-        self.mlp = MLPBlock(dim, mlp_dim)
+        self.mlp = MLPBlock(dim, mlp_dim, act="relu")  # reference transformer.py uses ReLU here
         self.norm3 = LayerNorm(dim)
         self.cross_i2t = TwoWayAttention(dim, num_heads, downsample_rate=2)
         self.norm4 = LayerNorm(dim)
         self.skip_first_pe = skip_first_pe
 
     def __call__(self, v, queries, keys, q_pe, k_pe, ctx: Ctx):
-        q = queries if self.skip_first_pe else queries + q_pe
-        queries = self.norm1(v["norm1"], queries + self.self_attn(v["self_attn"], q, q, queries, ctx), ctx)
+        if self.skip_first_pe:
+            # reference transformer.py:236 — NO residual on the first self-attn
+            queries = self.self_attn(v["self_attn"], queries, queries, queries, ctx)
+        else:
+            q = queries + q_pe
+            queries = queries + self.self_attn(v["self_attn"], q, q, queries, ctx)
+        queries = self.norm1(v["norm1"], queries, ctx)
         q = queries + q_pe
         k = keys + k_pe
         queries = self.norm2(v["norm2"], queries + self.cross_t2i(v["cross_t2i"], q, k, keys, ctx), ctx)
@@ -278,10 +294,10 @@ class TwoWayBlock(Module):
 class MaskDecoder(Module):
     """Two-way transformer mask decoder with IoU head (reference decoders.MaskDecoder)."""
 
-    def __init__(self, dim=256, num_heads=8, depth=2, num_multimask=3):
+    def __init__(self, dim=256, num_heads=8, depth=2, num_multimask=3, mlp_dim=2048):
         self.dim = dim
         self.num_mask_tokens = num_multimask + 1
-        self.blocks = [TwoWayBlock(dim, num_heads, skip_first_pe=(i == 0)) for i in range(depth)]
+        self.blocks = [TwoWayBlock(dim, num_heads, mlp_dim=mlp_dim, skip_first_pe=(i == 0)) for i in range(depth)]
         self.final_t2i = TwoWayAttention(dim, num_heads, downsample_rate=2)
         self.final_norm = LayerNorm(dim)
         # output upscaling (transposed convs)

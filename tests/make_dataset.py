@@ -29,6 +29,50 @@ def make_image_with_boxes(rng, size=160, n_min=1, n_max=4, nc=4):
     return img, labels
 
 
+def make_dataset_mixed(root, n_val=200, nc=4, seed=0, base=256):
+    """Mixed-size/aspect val set for cross-framework mAP parity + rect-val tests.
+
+    Uses a handful of aspect ratios so the reference's exact rect shape planner
+    (ultralytics/data/base.py:261) yields a small, bounded set of batch shapes.
+    """
+    import cv2
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    aspects = [(1.0, 1.0), (0.75, 1.0), (1.0, 0.75), (9 / 16, 1.0), (1.0, 0.6)]
+    (root / "images" / "val").mkdir(parents=True, exist_ok=True)
+    (root / "labels" / "val").mkdir(parents=True, exist_ok=True)
+    (root / "images" / "train").mkdir(parents=True, exist_ok=True)
+    (root / "labels" / "train").mkdir(parents=True, exist_ok=True)
+    for i in range(n_val):
+        ah, aw = aspects[int(rng.integers(0, len(aspects)))]
+        h, w = int(base * ah), int(base * aw)
+        img = (rng.random((h, w, 3)) * 60 + 90).astype(np.uint8)
+        labels = []
+        for _ in range(int(rng.integers(1, 5))):
+            cls = int(rng.integers(0, nc))
+            bw = int(rng.integers(w // 8, w // 3))
+            bh = int(rng.integers(h // 8, h // 3))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            img[y1 : y1 + bh, x1 : x1 + bw] = PALETTE[cls % len(PALETTE)]
+            labels.append((cls, (x1 + bw / 2) / w, (y1 + bh / 2) / h, bw / w, bh / h))
+        cv2.imwrite(str(root / "images" / "val" / f"val_{i:04d}.jpg"), img[:, :, ::-1])
+        with open(root / "labels" / "val" / f"val_{i:04d}.txt", "w") as f:
+            for cls, cx, cy, bw, bh in labels:
+                f.write(f"{cls} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n")
+    # minimal train split so dataset checks pass
+    img = np.full((base, base, 3), 120, np.uint8)
+    cv2.imwrite(str(root / "images" / "train" / "train_0000.jpg"), img)
+    (root / "labels" / "train" / "train_0000.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: thing{i}" for i in range(nc))
+    yaml_path.write_text(
+        f"path: {root.resolve()}\ntrain: images/train\nval: images/val\nnames:\n{names}\n"
+    )
+    return yaml_path
+
+
 def make_dataset(root, n_train=8, n_val=4, size=160, nc=4, seed=0):
     """Create {root}/{images,labels}/{train,val} + data.yaml. Returns yaml path."""
     import cv2
