@@ -41,19 +41,23 @@ class Compose:
 
 
 class Mosaic:
-    """4-image mosaic (reference augment.py:490/_mosaic4): 2x2 grid on a 2s canvas
-    around a jittered center, boxes shifted into canvas coords."""
+    """4- or 9-image mosaic (reference augment.py:490: _mosaic4 at :658,
+    _mosaic9 at :716): images tiled on a 2s (or 3s, center-cropped to 2s)
+    canvas, boxes shifted into canvas coords."""
 
     def __init__(self, dataset, imgsz: int = 640, p: float = 1.0, n: int = 4):
-        assert n == 4, "only 4-mosaic supported"
+        assert n in (4, 9), "mosaic supports n=4 or n=9"
         self.dataset = dataset
         self.imgsz = imgsz
         self.p = p
+        self.n = n
         self.border = (-imgsz // 2, -imgsz // 2)
 
     def __call__(self, labels):
         if random.random() > self.p:
             return labels
+        if self.n == 9:
+            return self._mosaic9(labels)
         s = self.imgsz
         yc = int(random.uniform(s // 2, 2 * s - s // 2))
         xc = int(random.uniform(s // 2, 2 * s - s // 2))
@@ -62,6 +66,25 @@ class Mosaic:
 
         canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
         cls_all, box_all, seg_all, kpt_all = [], [], [], []
+        # open-vocabulary samples carry per-image "texts": merge into a union
+        # vocabulary and remap each sample's local cls ids into it
+        union_texts = None
+        if any(lb.get("texts") is not None for lb in mix):
+            union_texts, text_index = [], {}
+            remaps = []
+            for lb in mix:
+                remap = {}
+                for ci, t in enumerate(lb.get("texts") or []):
+                    key = tuple(t) if isinstance(t, list) else t
+                    if key not in text_index:
+                        text_index[key] = len(union_texts)
+                        union_texts.append(t)
+                    remap[ci] = text_index[key]
+                remaps.append(remap)
+            mix = [
+                {**lb, "cls": np.array([remaps[i].get(int(c), int(c)) for c in lb["cls"]], np.float32)}
+                for i, lb in enumerate(mix)
+            ]
         for i, lb in enumerate(mix):
             img = lb["img"]
             h, w = img.shape[:2]
@@ -99,6 +122,51 @@ class Mosaic:
             "mosaic_border": self.border,
             "im_file": labels.get("im_file", ""),
             "ori_shape": labels.get("ori_shape", canvas.shape[:2]),
+        }
+        if union_texts is not None:
+            out["texts"] = union_texts
+        if seg_all:
+            out["segments"] = seg_all
+        if kpt_all:
+            out["keypoints"] = np.concatenate(kpt_all)
+        clip_sample(out, (s * 2, s * 2))
+        return out
+
+    def _mosaic9(self, labels):
+        """9-image mosaic (reference augment.py:716 _mosaic9): 3x3 cell grid on a
+        3s canvas, each image top-left-anchored in its cell, center-cropped to
+        the same 2s output geometry as the 4-mosaic."""
+        s = self.imgsz
+        indices = [random.randint(0, len(self.dataset) - 1) for _ in range(8)]
+        mix = [labels] + [self.dataset.get_sample(i) for i in indices]
+        canvas = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+        off = s // 2  # center-crop offset: 3s canvas -> 2s output
+        cls_all, box_all, seg_all, kpt_all = [], [], [], []
+        for i, lb in enumerate(mix):
+            r, c = divmod(i, 3)
+            img = lb["img"]
+            h, w = img.shape[:2]
+            y0, x0 = r * s, c * s
+            h, w = min(h, s), min(w, s)
+            canvas[y0 : y0 + h, x0 : x0 + w] = img[:h, :w]
+            padw, padh = x0 - off, y0 - off  # into cropped coords
+            if len(lb["bboxes"]):
+                box_all.append(lb["bboxes"] + np.array([padw, padh, padw, padh], np.float32))
+                cls_all.append(lb["cls"])
+                if lb.get("keypoints") is not None:
+                    k = lb["keypoints"].copy()
+                    k[..., 0] += padw
+                    k[..., 1] += padh
+                    kpt_all.append(k)
+                for seg in lb.get("segments", []) or []:
+                    seg_all.append(seg + np.array([padw, padh], np.float32))
+        out = {
+            "img": np.ascontiguousarray(canvas[off : off + 2 * s, off : off + 2 * s]),
+            "cls": np.concatenate(cls_all) if cls_all else np.zeros((0,), np.float32),
+            "bboxes": np.concatenate(box_all) if box_all else np.zeros((0, 4), np.float32),
+            "mosaic_border": self.border,
+            "im_file": labels.get("im_file", ""),
+            "ori_shape": labels.get("ori_shape", (2 * s, 2 * s)),
         }
         if seg_all:
             out["segments"] = seg_all

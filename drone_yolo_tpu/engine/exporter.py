@@ -114,9 +114,16 @@ class Exporter(CallbackMixin):
                 raise ImportError(f"format '{fmt}' requires tensorflow (jax2tf): {e}") from e
             tf_fn = jax2tf.convert(lambda x: infer(variables, x), with_gradient=False)
             module = tf.Module()
-            module.f = tf.function(tf_fn, input_signature=[tf.TensorSpec([batch, imgsz, imgsz, 3], tf.float32)])
+            module.f = tf.function(
+                lambda images: tf_fn(images),
+                input_signature=[tf.TensorSpec([batch, imgsz, imgsz, 3], tf.float32, name="images")],
+            )
             sm_path = str(out_base) + "_saved_model"
-            tf.saved_model.save(module, sm_path)
+            # register a serving signature so non-Python runtimes (TF C/C++ API,
+            # examples/cpp_savedmodel_inference) can drive the artifact
+            tf.saved_model.save(
+                module, sm_path, signatures={"serving_default": module.f.get_concrete_function()}
+            )
             produced.append(sm_path)
             if fmt == "tflite":
                 converter = tf.lite.TFLiteConverter.from_saved_model(sm_path)

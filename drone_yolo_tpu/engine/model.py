@@ -28,6 +28,10 @@ class YOLO:
         self.variables = None
         self.predictor = None
         self.model_name = str(model)
+
+        if isinstance(model, (list, tuple)):
+            self._load_ensemble(model, task=task)
+            return
         model = str(model).strip()
 
         if model.endswith((".yaml", ".yml")):
@@ -55,6 +59,16 @@ class YOLO:
         self.overrides["model"] = weights
         self.overrides["task"] = self.task
         self.cfg = weights
+
+    def _load_ensemble(self, weights, task: str | None = None):
+        """Load several checkpoints as an NMS ensemble (reference
+        nn/tasks.py:684 Ensemble / :865 attempt_load_weights)."""
+        from drone_yolo_tpu.nn.model import attempt_load_weights
+
+        self.model, self.variables = attempt_load_weights(weights)
+        self.task = task or self.model.task
+        self.overrides = {"model": list(map(str, weights)), "task": self.task}
+        self.cfg = self.model_name = ",".join(map(str, weights))
 
     def ensure_variables(self, imgsz: int = 640, seed: int = 0):
         if self.variables is None:

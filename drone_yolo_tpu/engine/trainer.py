@@ -146,13 +146,20 @@ class BaseTrainer(CallbackMixin):
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(self.args))
 
-        # mesh: 1-D data parallel over all visible devices
-        n_dev = len(jax.devices())
+        # mesh: 1-D data parallel over the selected devices (args.device picks
+        # indices like the reference's device="0,1"; default = all visible)
+        dev_arg = self.args.device
+        if dev_arg not in (None, "", "auto", "tpu", "cpu"):
+            idxs = [int(x) for x in str(dev_arg).split(",")]
+            devices = [jax.devices()[i] for i in idxs]
+        else:
+            devices = list(jax.devices())
+        n_dev = len(devices)
         if self.batch_size % n_dev != 0:
             old = self.batch_size
             self.batch_size = max(n_dev, self.batch_size // n_dev * n_dev)
             LOGGER.warning(f"batch {old} not divisible by {n_dev} devices; using {self.batch_size}")
-        self.mesh = make_mesh()
+        self.mesh = make_mesh(devices=devices)
         LOGGER.info(f"Training on {n_dev} device(s), global batch {self.batch_size}")
 
         # data

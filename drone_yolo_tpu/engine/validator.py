@@ -45,17 +45,30 @@ class BaseValidator(CallbackMixin):
         self._jit_cache = {}
 
     def __call__(self, model=None, variables=None):
-        """Validate a YOLO facade (optionally with explicit variables, e.g. EMA)."""
+        """Validate a YOLO facade, or an AutoBackend artifact (reference
+        validator.py:128 AutoBackend branch) — optionally with explicit
+        variables, e.g. EMA."""
+        from drone_yolo_tpu.nn.autobackend import AutoBackend
+
         self.run_callbacks("on_val_start")
         facade = model
-        self.model = facade.model
-        self.nc = self.model.nc
         imgsz = int(self.args.imgsz)
-        if variables is None:
-            facade.ensure_variables(imgsz=imgsz)
-            variables = self.model.fuse(facade.variables)
-        self.variables = variables
-        self.names = self.model.names
+        self.backend = facade if isinstance(facade, AutoBackend) else None
+        if self.backend is not None:
+            self.model = self.backend.model  # may be None (savedmodel/tflite)
+            self.nc = self.backend.nc
+            self.names = self.backend.names
+            self.variables = variables = None
+            stride_max = int(max(self.backend.stride))
+        else:
+            self.model = facade.model
+            self.nc = self.model.nc
+            if variables is None:
+                facade.ensure_variables(imgsz=imgsz)
+                variables = self.model.fuse(facade.variables)
+            self.variables = variables
+            self.names = self.model.names
+            stride_max = int(max(self.model.stride))
         self.metrics.names = self.names
         self.confusion_matrix = ConfusionMatrix(nc=self.nc, conf=self.args.conf)
 
@@ -64,16 +77,18 @@ class BaseValidator(CallbackMixin):
             self.data = data
             self.names = data.get("names", self.names)
             self.metrics.names = self.names
-            dataset = build_yolo_dataset(self.args, data["val"], int(self.args.batch), data, mode="val", stride=int(max(self.model.stride)))
+            dataset = build_yolo_dataset(self.args, data["val"], int(self.args.batch), data, mode="val", stride=stride_max)
             self.dataloader = build_dataloader(dataset, int(self.args.batch), self.args.workers, shuffle=False, drop_last=False)
 
         self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         self.seen = 0
         dt = [0.0, 0.0, 0.0]
+        timed = 0  # images timed AFTER compilation (first batch per shape excluded)
         n_batches = len(self.dataloader)
         bar = TQDM(self.dataloader, total=n_batches, desc="val")
         for batch in bar:
             self.run_callbacks("on_val_batch_start")
+            compiled = tuple(batch["img"].shape) in self._jit_cache
             t0 = time.perf_counter()
             img = batch["img"].astype(np.float32) / 255.0
             t1 = time.perf_counter()
@@ -82,16 +97,19 @@ class BaseValidator(CallbackMixin):
             t2 = time.perf_counter()
             self.update_metrics(out, n_valid, batch, img.shape[1:3])
             t3 = time.perf_counter()
-            dt[0] += t1 - t0
-            dt[1] += t2 - t1
-            dt[2] += t3 - t2
+            if compiled:  # exclude compile time from the speed report
+                dt[0] += t1 - t0
+                dt[1] += t2 - t1
+                dt[2] += t3 - t2
+                timed += len(img)
             self.run_callbacks("on_val_batch_end")
 
         stats = self.get_stats()
+        denom = max(timed or self.seen, 1)
         self.speed = {
-            "preprocess": dt[0] / max(self.seen, 1) * 1e3,
-            "inference": dt[1] / max(self.seen, 1) * 1e3,
-            "postprocess": dt[2] / max(self.seen, 1) * 1e3,
+            "preprocess": dt[0] / denom * 1e3,
+            "inference": dt[1] / denom * 1e3,
+            "postprocess": dt[2] / denom * 1e3,
         }
         self.print_results()
         if self.args.save_json and self.jdict:
@@ -115,6 +133,22 @@ class BaseValidator(CallbackMixin):
         pre_topk = int(self.args.pre_nms_topk)
         model = self.model
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        if getattr(self, "backend", None) is not None:
+            backend = self.backend
+            nms = jax.jit(
+                lambda preds: non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk,
+                    nc=nc, multi_label=True,
+                )
+            )
+
+            def backend_fn(_variables, x):
+                preds = backend(np.asarray(x, np.float32))
+                return nms(jnp.asarray(preds))
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
 
         end2end = isinstance(getattr(model, "head", None), M.v10Detect)
 

@@ -9,6 +9,8 @@ FLOPs) instead of a dummy forward.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -245,8 +247,13 @@ class WorldModel(DetectionModel):
 
         ctx = ctx or M_.Ctx(train=train)
         if ctx.text is None:
-            txt = jnp.asarray(self.txt_feats)
-            ctx.text = jnp.broadcast_to(txt, (x.shape[0], *txt.shape[1:]))
+            # per-batch sampled texts (world training) ride in the targets dict;
+            # otherwise fall back to the static set_classes vocabulary
+            if ctx.targets is not None and isinstance(ctx.targets, dict) and "txt_feats" in ctx.targets:
+                ctx.text = ctx.targets["txt_feats"].astype(jnp.float32)
+            else:
+                txt = jnp.asarray(self.txt_feats)
+                ctx.text = jnp.broadcast_to(txt, (x.shape[0], *txt.shape[1:]))
         return super().apply(variables, x, train=train, ctx=ctx)
 
 
@@ -267,6 +274,62 @@ def clip_text_embeddings(texts, model_id: str = "openai/clip-vit-base-patch32"):
             "CLIP text encoding unavailable (zero-egress build needs local weights); "
             f"pass precomputed `embeddings` to set_classes. ({e})"
         ) from e
+
+
+class Ensemble:
+    """NMS ensemble of detection models: predictions concatenated along the
+    anchor axis, suppressed jointly (reference nn/tasks.py:684 Ensemble).
+
+    Variables are a tuple of per-model pytrees; all engine entry points that
+    only need apply/fuse/stride/nc/names work unchanged."""
+
+    def __init__(self, models):
+        assert models, "empty ensemble"
+        self.models = list(models)
+        m0 = self.models[0]
+        self.task, self.nc, self.names, self.yaml = m0.task, m0.nc, m0.names, m0.yaml
+        self.head = m0.head
+        self.stride = np.array([max(float(max(m.stride)) for m in self.models)])
+        for m in self.models[1:]:
+            assert m.nc == self.nc, f"ensemble class counts differ: {m.nc} vs {self.nc}"
+
+    def apply(self, variables, x, train: bool = False, ctx=None):
+        from drone_yolo_tpu.nn import modules as M_
+
+        outs = []
+        for m, v in zip(self.models, variables):
+            c = M_.Ctx(train=False, dtype=(ctx.dtype if ctx is not None else jnp.float32))
+            o = m.apply(v, x, ctx=c)
+            outs.append(o[0] if isinstance(o, tuple) else o)
+        return jnp.concatenate(outs, axis=1), None  # (B, sum_A, 4+nc)
+
+    def fuse(self, variables):
+        return tuple(m.fuse(v) for m, v in zip(self.models, variables))
+
+    def init(self, key, imgsz: int = 640):
+        import jax as _jax
+
+        keys = _jax.random.split(key, len(self.models))
+        return tuple(m.init(k, imgsz=imgsz) for m, k in zip(self.models, keys))
+
+    def info(self, variables=None):
+        for i, m in enumerate(self.models):
+            LOGGER.info(f"ensemble member {i}: {type(m).__name__}")
+            m.info(variables[i] if variables else None)
+
+
+def attempt_load_weights(weights):
+    """Load one or many checkpoints; many -> Ensemble (reference tasks.py:865)."""
+    from drone_yolo_tpu.engine.checkpoint import load_checkpoint
+
+    if isinstance(weights, (str, Path)):
+        model, variables, _ = load_checkpoint(weights)
+        return model, variables
+    pairs = [load_checkpoint(w)[:2] for w in weights]
+    if len(pairs) == 1:
+        return pairs[0]
+    LOGGER.info(f"Ensemble of {len(pairs)} models")
+    return Ensemble([p[0] for p in pairs]), tuple(p[1] for p in pairs)
 
 
 class RTDETRDetectionModel(DetectionModel):

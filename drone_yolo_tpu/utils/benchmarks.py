@@ -16,67 +16,68 @@ import numpy as np
 from drone_yolo_tpu.utils import LOGGER, TQDM
 
 
-def benchmark(model=None, data=None, imgsz: int = 160, half: bool = False, device=None, verbose=False, fmts=("npz", "stablehlo")):
-    """Run inference benchmarks across formats; returns a list of row dicts.
+def default_formats():
+    fmts = ["npz", "stablehlo"]
+    try:
+        import tensorflow  # noqa: F401
+
+        fmts += ["savedmodel", "tflite"]
+    except ImportError:
+        pass
+    return tuple(fmts)
+
+
+def benchmark(model=None, data=None, imgsz: int = 160, half: bool = False, device=None, verbose=False, fmts=None, keep_dir=None):
+    """Export to each format, RELOAD the artifact via AutoBackend, and measure
+    latency + (optionally) re-validated mAP through the reloaded artifact —
+    reference benchmarks.py:51 semantics (export x AutoBackend x val).
 
     If `verbose` is a float, assert every mAP >= that floor (the reference's
     CI regression-gate trick, ci.yaml:138-146).
     """
+    import tempfile
+
     import jax
-    import jax.numpy as jnp
 
     from drone_yolo_tpu import YOLO
-    from drone_yolo_tpu.nn import modules as M
-    from drone_yolo_tpu.ops.nms import non_max_suppression
+    from drone_yolo_tpu.engine.exporter import Exporter
+    from drone_yolo_tpu.nn.autobackend import AutoBackend
 
     assert model is not None, "pass a YOLO facade or model path"
     facade = model if isinstance(model, YOLO) else YOLO(model)
     facade.ensure_variables(imgsz=imgsz)
-    variables = facade.model.fuse(facade.variables)
-    dtype = jnp.bfloat16 if half else jnp.float32
-    net = facade.model
+    fmts = fmts or default_formats()
 
     rows = []
-    x = jnp.asarray(np.random.default_rng(0).random((1, imgsz, imgsz, 3), np.float32))
+    x = np.random.default_rng(0).random((1, imgsz, imgsz, 3), np.float32)
+    workdir = keep_dir or tempfile.mkdtemp(prefix="dyt_bench_")
     for fmt in fmts:
         t_export = 0.0
         try:
-            if fmt == "npz":
-                @jax.jit
-                def fn(v, xx):
-                    out = net.apply(v, xx, ctx=M.Ctx(train=False, dtype=dtype))
-                    preds = out[0] if isinstance(out, tuple) else out
-                    if preds.ndim == 3:
-                        return non_max_suppression(preds[..., : 4 + net.nc], conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=256)
-                    return preds, jnp.zeros((xx.shape[0],), jnp.int32)
+            t0 = time.time()
+            path = Exporter(
+                overrides={"format": fmt, "imgsz": imgsz, "batch": 1, "project": workdir, "task": facade.task, "half": half}
+            )(facade)
+            t_export = time.time() - t0
+            backend = AutoBackend(path, half=half)
+            out = backend.warmup((1, imgsz, imgsz, 3))
 
-                call = lambda xx: fn(variables, xx)  # noqa: E731
-            elif fmt == "stablehlo":
-                import tempfile
-
-                from drone_yolo_tpu.engine.exporter import Exporter, load_stablehlo
-
-                with tempfile.TemporaryDirectory() as td:
-                    t0 = time.time()
-                    path = Exporter(overrides={"format": "stablehlo", "imgsz": imgsz, "batch": 1, "project": td, "task": facade.task, "half": half})(facade)
-                    t_export = time.time() - t0
-                    loaded, meta = load_stablehlo(path)
-                    call = lambda xx: loaded(variables, xx)  # noqa: E731
-            else:
-                raise NotImplementedError(fmt)
-
-            out = call(x)
-            jax.tree_util.tree_map(lambda a: np.asarray(a), out)
             n_timed = 20
             t0 = time.perf_counter()
             for _ in range(n_timed):
-                out = call(x)
+                out = backend(x)
             np.asarray(jax.tree_util.tree_leaves(out)[-1])
             latency_ms = (time.perf_counter() - t0) / n_timed * 1e3
 
             metrics = None
             if data is not None:
-                res = facade.val(data=data, imgsz=imgsz, batch=1, plots=False, verbose=False, half=half)
+                from drone_yolo_tpu.engine.validator import DetectionValidator
+
+                v = DetectionValidator(
+                    args={"data": data, "imgsz": imgsz, "batch": 1, "plots": False, "verbose": False,
+                          "half": half, "mode": "val", "task": "detect", "workers": 0}
+                )
+                res = v(model=backend)
                 metrics = res.get("metrics/mAP50-95(B)")
             rows.append({"format": fmt, "status": "ok", "latency_ms": round(latency_ms, 2), "mAP50-95": metrics, "export_s": round(t_export, 1)})
         except Exception as e:  # noqa: BLE001 - report per-format failures like the reference

@@ -37,13 +37,29 @@ def get_default_callbacks() -> dict:
 def add_integration_callbacks(instance) -> None:
     """Attach available logger integrations (reference callbacks/base.py:187)."""
     from drone_yolo_tpu.utils.loggers import (
+        clearml_callbacks,
+        comet_callbacks,
         csv_callbacks,
+        dvc_callbacks,
         mlflow_callbacks,
+        neptune_callbacks,
+        raytune_callbacks,
         tensorboard_callbacks,
         wandb_callbacks,
     )
 
-    for pack in (csv_callbacks(), tensorboard_callbacks(), wandb_callbacks(), mlflow_callbacks()):
+    packs = (
+        csv_callbacks(),
+        tensorboard_callbacks(),
+        wandb_callbacks(),
+        mlflow_callbacks(),
+        comet_callbacks(),
+        clearml_callbacks(),
+        dvc_callbacks(),
+        neptune_callbacks(),
+        raytune_callbacks(),
+    )
+    for pack in packs:
         if not pack:
             continue
         for event, fn in pack.items():

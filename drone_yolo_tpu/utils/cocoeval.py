@@ -50,7 +50,8 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     det-ignore flags, det scores, and the number of non-ignored gt."""
     T = len(IOU_THRS)
     g_ignore = np.array(
-        [bool(g.get("iscrowd", 0)) or not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts]
+        [bool(g.get("iscrowd", 0)) or not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts],
+        dtype=bool,
     )
     # sort gt: non-ignored first (COCOeval gtind ordering)
     g_order = np.argsort(g_ignore, kind="stable")
@@ -92,7 +93,10 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     dt_ig = np.zeros((T, D), bool)
     for ti in range(T):
         matched = dt_m[ti] >= 0
-        ig_of_match = np.where(matched, g_ignore[np.maximum(dt_m[ti], 0)], False)
+        if G:
+            ig_of_match = np.where(matched, g_ignore[np.maximum(dt_m[ti], 0)], False)
+        else:
+            ig_of_match = np.zeros(D, bool)
         dt_ig[ti] = ig_of_match | (~matched & d_out)
     n_gt = int((~g_ignore).sum())
     return dt_m >= 0, dt_ig, scores, n_gt

@@ -76,6 +76,163 @@ def mlflow_callbacks():
     return {"on_pretrain_routine_end": on_pretrain_routine_end, "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
 
 
+def _epoch_metrics(trainer):
+    return {**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}
+
+
+def comet_callbacks():
+    """Comet ML logging, if comet_ml is importable (reference callbacks/comet.py)."""
+    try:
+        import comet_ml  # noqa: F401
+    except ImportError:
+        return None
+    import comet_ml
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["exp"] = comet_ml.Experiment(project_name=str(trainer.args.project or "drone_yolo_tpu"))
+        state["exp"].log_parameters(vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):
+        if "exp" in state:
+            state["exp"].log_metrics(
+                {k: v for k, v in _epoch_metrics(trainer).items() if isinstance(v, (int, float))},
+                epoch=trainer.epoch,
+            )
+
+    def on_train_end(trainer):
+        if "exp" in state:
+            state["exp"].end()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+def clearml_callbacks():
+    """ClearML logging, if clearml is importable (reference callbacks/clearml.py)."""
+    try:
+        from clearml import Task  # noqa: F401
+    except ImportError:
+        return None
+    from clearml import Task
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["task"] = Task.init(
+            project_name=str(trainer.args.project or "drone_yolo_tpu"), task_name=str(trainer.args.name or "train")
+        )
+        state["task"].connect(vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):
+        if "task" in state:
+            logger = state["task"].get_logger()
+            for k, v in _epoch_metrics(trainer).items():
+                if isinstance(v, (int, float)):
+                    logger.report_scalar("train", k, float(v), iteration=trainer.epoch)
+
+    def on_train_end(trainer):
+        if "task" in state:
+            state["task"].close()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+def dvc_callbacks():
+    """DVCLive logging, if dvclive is importable (reference callbacks/dvc.py)."""
+    try:
+        import dvclive  # noqa: F401
+    except ImportError:
+        return None
+    import dvclive
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["live"] = dvclive.Live(str(Path(trainer.save_dir) / "dvclive"), save_dvc_exp=False)
+
+    def on_fit_epoch_end(trainer):
+        live = state.get("live")
+        if live is not None:
+            for k, v in _epoch_metrics(trainer).items():
+                if isinstance(v, (int, float)):
+                    live.log_metric(k, float(v))
+            live.next_step()
+
+    def on_train_end(trainer):
+        if state.get("live") is not None:
+            state["live"].end()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+def neptune_callbacks():
+    """Neptune logging, if neptune is importable (reference callbacks/neptune.py)."""
+    try:
+        import neptune  # noqa: F401
+    except ImportError:
+        return None
+    import neptune
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["run"] = neptune.init_run(name=str(trainer.args.name or "train"))
+        state["run"]["configuration/hyperparameters"] = {k: str(v) for k, v in vars(trainer.args).items()}
+
+    def on_fit_epoch_end(trainer):
+        run = state.get("run")
+        if run is not None:
+            for k, v in _epoch_metrics(trainer).items():
+                if isinstance(v, (int, float)):
+                    run[k].append(float(v), step=trainer.epoch)
+
+    def on_train_end(trainer):
+        if state.get("run") is not None:
+            state["run"].stop()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+def raytune_callbacks():
+    """Ray Tune session reporting, if ray.tune is active (reference callbacks/raytune.py)."""
+    try:
+        from ray import train as ray_train
+        from ray import tune  # noqa: F401
+    except ImportError:
+        return None
+
+    def on_fit_epoch_end(trainer):
+        try:
+            from ray.train._internal.session import get_session
+
+            if get_session() is None:
+                return
+        except Exception:  # noqa: BLE001 - session introspection is best-effort
+            pass
+        metrics = {k: float(v) for k, v in _epoch_metrics(trainer).items() if isinstance(v, (int, float))}
+        metrics["epoch"] = trainer.epoch
+        ray_train.report(metrics)
+
+    return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
 def tensorboard_callbacks():
     """TensorBoard scalars, if tensorboard is importable."""
     try:

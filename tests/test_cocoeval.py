@@ -1,0 +1,86 @@
+"""Vendored numpy COCOeval (VERDICT item 4): protocol unit tests + the
+validator save_json -> eval_json path producing a real COCO mAP."""
+
+import numpy as np
+
+from make_dataset import make_dataset
+
+from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+
+def _gt(boxes_per_img, hw=(100, 100)):
+    images, annotations = [], []
+    aid = 1
+    for img_id, boxes in boxes_per_img.items():
+        images.append({"id": img_id, "height": hw[0], "width": hw[1]})
+        for cat, (x, y, w, h) in boxes:
+            annotations.append(
+                {"id": aid, "image_id": img_id, "category_id": cat, "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0}
+            )
+            aid += 1
+    cats = [{"id": i, "name": str(i)} for i in range(2)]
+    return {"images": images, "annotations": annotations, "categories": cats}
+
+
+def test_perfect_predictions_ap1():
+    gt = _gt({0: [(0, (10, 10, 30, 30)), (1, (50, 50, 20, 20))], 1: [(0, (5, 5, 40, 40))]})
+    dt = [
+        {"image_id": 0, "category_id": 0, "bbox": [10, 10, 30, 30], "score": 0.9},
+        {"image_id": 0, "category_id": 1, "bbox": [50, 50, 20, 20], "score": 0.8},
+        {"image_id": 1, "category_id": 0, "bbox": [5, 5, 40, 40], "score": 0.95},
+    ]
+    stats = COCOevalNP(gt, dt).run()
+    assert stats["AP"] == 1.0
+    assert stats["AP50"] == 1.0
+    assert stats["AR100"] == 1.0
+
+
+def test_false_positive_halves_precision():
+    gt = _gt({0: [(0, (10, 10, 30, 30))]})
+    dt = [
+        {"image_id": 0, "category_id": 0, "bbox": [10, 10, 30, 30], "score": 0.9},
+        {"image_id": 0, "category_id": 0, "bbox": [60, 60, 30, 30], "score": 0.95},  # higher-scored FP
+    ]
+    stats = COCOevalNP(gt, dt).run()
+    # 101-pt interpolation: TP ranked 2nd behind an FP -> precision 0.5 at all recalls
+    assert abs(stats["AP50"] - 0.5) < 0.01, stats["AP50"]
+
+
+def test_localization_quality_graded_by_iou():
+    gt = _gt({0: [(0, (10, 10, 40, 40))]})
+    dt = [{"image_id": 0, "category_id": 0, "bbox": [14, 14, 40, 40], "score": 0.9}]  # IoU ~0.68
+    stats = COCOevalNP(gt, dt).run()
+    assert stats["AP50"] == 1.0
+    assert stats["AP75"] == 0.0
+    assert 0.2 < stats["AP"] < 0.6
+
+
+def test_area_ranges_and_maxdets():
+    gt = _gt({0: [(0, (0, 0, 10, 10)), (0, (20, 20, 50, 50))]})  # one small, one large
+    dt = [
+        {"image_id": 0, "category_id": 0, "bbox": [0, 0, 10, 10], "score": 0.9},
+        {"image_id": 0, "category_id": 0, "bbox": [20, 20, 50, 50], "score": 0.8},
+    ]
+    stats = COCOevalNP(gt, dt).run()
+    assert stats["APsmall"] == 1.0
+    assert stats["APmedium"] == 1.0  # 50x50 = 2500 in [1024, 9216)
+    assert stats["AR1"] < stats["AR10"] == 1.0  # maxDets=1 can't recall both
+
+
+def test_validator_eval_json_end_to_end(tmp_path):
+    """save_json=True writes predictions.json and eval_json returns COCO stats."""
+    yaml_path = make_dataset(tmp_path / "d", n_train=2, n_val=4, size=96, nc=4, seed=1)
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.models.yolo import TASK_MAP
+
+    m = YOLO("yolov8n.yaml")
+    v = TASK_MAP["detect"]["validator"](
+        args=dict(data=str(yaml_path), imgsz=64, batch=2, save_json=True, workers=0,
+                  mode="val", task="detect", verbose=False, plots=False,
+                  project=str(tmp_path), name="cocoval")
+    )
+    v(model=m)
+    assert (v.save_dir / "predictions.json").exists() or not v.jdict  # random weights may emit none
+    if v.jdict:
+        assert hasattr(v, "coco_stats")
+        assert "AP" in v.coco_stats

@@ -1,0 +1,188 @@
+"""VERDICT item 9: ensemble weights loading, mosaic9, and the full logger
+callback set firing under fake modules."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from make_dataset import make_dataset, make_image_with_boxes
+
+
+@pytest.fixture(scope="module")
+def two_ckpts(tmp_path_factory):
+    from drone_yolo_tpu.engine.checkpoint import save_checkpoint
+    from drone_yolo_tpu.nn.model import DetectionModel
+
+    root = tmp_path_factory.mktemp("ens")
+    paths = []
+    for seed in (0, 1):
+        m = DetectionModel("yolov8n.yaml", nc=4)
+        m.names = {i: f"thing{i}" for i in range(4)}
+        v = m.init(jax.random.PRNGKey(seed), imgsz=64)
+        p = root / f"m{seed}.npz"
+        save_checkpoint(p, m, v)
+        paths.append(str(p))
+    return paths
+
+
+def test_ensemble_predict(two_ckpts):
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn.model import Ensemble
+
+    m = YOLO(two_ckpts)
+    assert isinstance(m.model, Ensemble)
+    img = make_image_with_boxes(np.random.default_rng(0), size=96)[0]
+    results = m.predict(source=[img], imgsz=64, verbose=False)
+    assert len(results) == 1
+    # ensemble anchor count = sum of members'
+    import jax.numpy as jnp
+    from drone_yolo_tpu.nn import modules as M
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    preds, _ = m.model.apply(m.variables, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    single = m.model.models[0]
+    sp, _ = single.apply(m.variables[0], x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    assert preds.shape[1] == 2 * sp.shape[1]
+
+
+def test_ensemble_val(two_ckpts, tmp_path):
+    yaml_path = make_dataset(tmp_path / "d", n_train=2, n_val=4, size=96, nc=4, seed=0)
+    from drone_yolo_tpu import YOLO
+
+    m = YOLO(two_ckpts)
+    metrics = m.val(data=str(yaml_path), imgsz=64, batch=2, workers=1, verbose=False, plots=False)
+    assert np.isfinite(metrics.box.map)  # full validator pipeline ran on the ensemble
+
+
+def test_mosaic9_geometry():
+    from drone_yolo_tpu.cfg import get_cfg
+    from drone_yolo_tpu.data.augment import Mosaic
+
+    class FakeDS:
+        def __len__(self):
+            return 16
+
+        def get_sample(self, i):
+            rng = np.random.default_rng(i)
+            img, labels = make_image_with_boxes(rng, size=64)
+            lb = np.array(labels, np.float32).reshape(-1, 5)
+            b = lb[:, 1:] * 64
+            boxes = np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2, b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1)
+            return {"img": img, "cls": lb[:, 0], "bboxes": boxes.astype(np.float32)}
+
+    ds = FakeDS()
+    mo = Mosaic(ds, imgsz=64, p=1.0, n=9)
+    out = mo(ds.get_sample(0))
+    assert out["img"].shape == (128, 128, 3)
+    assert len(out["cls"]) == len(out["bboxes"])
+    if len(out["bboxes"]):
+        b = out["bboxes"]
+        assert (b[:, 0] >= 0).all() and (b[:, 2] <= 128).all()
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def _fake_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def test_logger_integrations_fire_under_fakes(tmp_path, monkeypatch):
+    """comet/clearml/dvclive/neptune callbacks attach and fire when their
+    modules import (faked here; real deps stay optional)."""
+    calls = {"comet": 0, "clearml": 0, "dvc": 0, "neptune": 0}
+
+    class _Exp:
+        def log_parameters(self, p):
+            pass
+
+        def log_metrics(self, m, epoch=None):
+            calls["comet"] += 1
+
+        def end(self):
+            pass
+
+    _fake_module("comet_ml", Experiment=lambda **k: _Exp())
+
+    class _TaskObj:
+        def connect(self, d):
+            pass
+
+        def get_logger(self):
+            outer = self
+
+            class L:
+                def report_scalar(self, *a, **k):
+                    calls["clearml"] += 1
+
+            return L()
+
+        def close(self):
+            pass
+
+    class _Task:
+        @staticmethod
+        def init(**k):
+            return _TaskObj()
+
+    _fake_module("clearml", Task=_Task)
+
+    class _Live:
+        def __init__(self, *a, **k):
+            pass
+
+        def log_metric(self, k, v):
+            calls["dvc"] += 1
+
+        def next_step(self):
+            pass
+
+        def end(self):
+            pass
+
+    _fake_module("dvclive", Live=_Live)
+
+    class _Handle:
+        def append(self, v, step=None):
+            calls["neptune"] += 1
+
+    class _Run(dict):
+        def __getitem__(self, k):
+            return _Handle()
+
+        def __setitem__(self, k, v):
+            pass
+
+        def stop(self):
+            pass
+
+    _fake_module("neptune", init_run=lambda **k: _Run())
+
+    try:
+        from drone_yolo_tpu.cfg import get_cfg
+        from drone_yolo_tpu.utils.callbacks import CallbackMixin, add_integration_callbacks, get_default_callbacks
+
+        class FakeTrainer(CallbackMixin):
+            def __init__(self):
+                self.callbacks = get_default_callbacks()
+                self.args = get_cfg(overrides={"project": str(tmp_path), "name": "x"})
+                self.save_dir = tmp_path
+                self.epoch = 0
+                self.metrics = {"metrics/mAP50(B)": 0.5}
+                self.label_loss_items_dict = {"train/box_loss": 1.0}
+
+        t = FakeTrainer()
+        add_integration_callbacks(t)
+        t.run_callbacks("on_pretrain_routine_start")
+        t.run_callbacks("on_fit_epoch_end")
+        t.run_callbacks("on_train_end")
+        assert all(v > 0 for v in calls.values()), calls
+    finally:
+        for name in ("comet_ml", "clearml", "dvclive", "neptune"):
+            sys.modules.pop(name, None)

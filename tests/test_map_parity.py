@@ -45,6 +45,16 @@ def converted_pair():
     torch.manual_seed(0)
     ref_m = RefDet("yolov8n.yaml", nc=NC, verbose=False)
     ref_m.eval()
+    # A freshly-initialized head yields near-constant confidences (the class
+    # prior bias dominates), so every NMS tie-break differs by fp noise and a
+    # box-level comparison is meaningless. Amplify the final head convs so
+    # scores/boxes vary spatially; predictions stay garbage but deterministic.
+    with torch.no_grad():
+        for name, p in ref_m.named_parameters():
+            if ".cv3." in name and name.endswith("weight") and p.ndim == 4:
+                p.mul_(40.0)
+            if ".cv2." in name and name.endswith("weight") and p.ndim == 4:
+                p.mul_(4.0)
     ours = DetectionModel("yolov8n.yaml", nc=NC)
     variables = convert_state_dict(ours, dict(ref_m.state_dict()))
     return ref_m, ours, variables
