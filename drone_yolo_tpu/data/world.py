@@ -151,6 +151,18 @@ class GroundingDataset(WorldDataset):
         return out
 
 
+class SemanticDataset:
+    """Semantic segmentation dataset — the reference's own class is an empty
+    placeholder with no methods (`data/dataset.py:372`: "currently a placeholder
+    and needs to be populated"); mirrored here for API-surface parity."""
+
+    def __init__(self):
+        raise NotImplementedError(
+            "SemanticDataset is a placeholder in the reference (data/dataset.py:372); "
+            "use task='segment' (instance masks) instead"
+        )
+
+
 class YOLOConcatDataset:
     """Concatenation of datasets sharing one collate (reference dataset.py:358)."""
 

@@ -203,9 +203,17 @@ class YOLO:
         save_checkpoint(path, self.model, self.ensure_variables(), train_args=self.overrides)
 
     def load(self, weights):
+        """Transfer matching weights into this model (reference Model.load /
+        intersect_dicts semantics: leaves with matching path+shape copy over,
+        the rest keep their init — enables backbone transfer across tasks)."""
         from drone_yolo_tpu.engine.checkpoint import load_checkpoint
+        from drone_yolo_tpu.nn.model import intersect_tree
+        from drone_yolo_tpu.utils import LOGGER
 
-        _, self.variables, self.ckpt = load_checkpoint(weights, model=self.model)
+        _, src, self.ckpt = load_checkpoint(weights, model=None)
+        self.ensure_variables()
+        self.variables, copied, total = intersect_tree(self.variables, src)
+        LOGGER.info(f"transferred {copied}/{total} weights from {weights}")
         return self
 
     def info(self, verbose: bool = True):

@@ -17,6 +17,24 @@ from drone_yolo_tpu.nn.model import WorldModel
 from drone_yolo_tpu.utils.text_embed import TextEmbedder
 
 
+def _boost_contrastive_bias(variables, value: float = -4.0):
+    """From-scratch trainability: the contrastive heads' shared -10 bias is a
+    fine-tuning init (reference world models always start from pretrained
+    weights); training from random init it traps confidences below the val
+    gate for a long time since the bias is one scalar. Raise it to -4 when no
+    checkpoint is loaded — documented divergence, inert for fine-tuning."""
+    import jax.numpy as jnp
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "bias" in node and "logit_scale" in node and np.shape(node["bias"]) == (1,):
+            return {**node, "bias": jnp.asarray([value], jnp.float32)}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(variables)
+
+
 class WorldTrainer(BaseTrainer):
     """Fine-tune a world model on a close-set dataset (reference world/train.py:24)."""
 
@@ -40,7 +58,10 @@ class WorldTrainer(BaseTrainer):
         names = self.data.get("names", {})
         texts = [str(v).split("/")[0] for _, v in sorted(names.items(), key=lambda kv: int(kv[0]))]
         self.model.set_classes(texts, embeddings=self.embedder(texts))
+        fresh = facade.variables is None and facade.ckpt is None
         facade.ensure_variables(imgsz=int(self.args.imgsz), seed=self.args.seed)
+        if fresh:
+            facade.variables = _boost_contrastive_bias(facade.variables)
         self.variables = facade.variables
 
     def build_dataset(self, img_path, mode="train", batch=None):

@@ -96,7 +96,10 @@ class AutoBackend:
         assert npz.exists(), f"stablehlo artifact needs its sibling weights {npz}"
         model, variables, _ = load_checkpoint(npz)
         self.model = model
-        # the exporter traces with fused variables; the sibling npz stores them fused
+        # the exporter traced with model.fuse(vars), whose tree includes EMPTY
+        # dicts for paramless layers (Concat/Upsample); the npz round-trip drops
+        # leafless nodes, so re-fuse to regenerate the exact exported structure
+        variables = model.fuse(variables)
         self._call = lambda x: loaded(variables, jnp.asarray(x))
         self.meta.setdefault("names", model.names)
         self.meta.setdefault("task", model.task)

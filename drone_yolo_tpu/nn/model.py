@@ -276,6 +276,29 @@ def clip_text_embeddings(texts, model_id: str = "openai/clip-vit-base-patch32"):
         ) from e
 
 
+def intersect_tree(dst, src, _path=""):
+    """Copy src leaves into dst where the path AND shape match (reference
+    utils/torch_utils.py intersect_dicts + BaseModel.load, tasks.py:263).
+
+    Returns (merged_tree, n_copied, n_total_dst_leaves)."""
+    import jax.numpy as jnp
+
+    copied = total = 0
+
+    def walk(d, s, path):
+        nonlocal copied, total
+        if not isinstance(d, dict):
+            total += 1
+            if s is not None and not isinstance(s, dict) and tuple(np.shape(s)) == tuple(np.shape(d)):
+                copied += 1
+                return jnp.asarray(s)
+            return d
+        return {k: walk(v, s.get(k) if isinstance(s, dict) else None, f"{path}.{k}") for k, v in d.items()}
+
+    out = walk(dst, src, _path)
+    return out, copied, total
+
+
 class Ensemble:
     """NMS ensemble of detection models: predictions concatenated along the
     anchor axis, suppressed jointly (reference nn/tasks.py:684 Ensemble).

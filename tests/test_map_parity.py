@@ -179,3 +179,63 @@ def test_map_parity_rect(dataset, converted_pair):
     r = _run_reference(ref_m, dataset, rect=True)
     o = _run_ours(ours, variables, dataset, rect=True)
     _assert_agreement(r, o, "rect")
+
+
+@pytest.mark.slow
+def test_map_parity_trained(dataset, tmp_path):
+    """mAP agreement at a MEANINGFUL level: briefly train the torch reference on
+    the synthetic set (its own v8DetectionLoss), convert the trained weights,
+    and compare both validators — letterbox/NMS/matching discrepancies that are
+    invisible at garbage mAP must stay invisible at real mAP too."""
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as RefDet
+
+    torch.manual_seed(0)
+    ref_m = RefDet("yolov8n.yaml", nc=NC, verbose=False)
+    ref_m.args = type("A", (), {"box": 7.5, "cls": 0.5, "dfl": 1.5})()
+    criterion = ref_m.init_criterion()
+
+    # training pool = the val images (agreement, not generalization, is on test)
+    import cv2
+
+    root = Path(dataset).parent
+    files = sorted((root / "images" / "val").glob("*.jpg"))[:64]
+    samples = []
+    for f in files:
+        img = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (IMGSZ, IMGSZ), interpolation=cv2.INTER_LINEAR)
+        lb = np.loadtxt(str(f).replace("images", "labels").replace(".jpg", ".txt")).reshape(-1, 5)
+        samples.append((img.astype(np.float32) / 255.0, lb))
+
+    opt = torch.optim.SGD(ref_m.parameters(), lr=0.01, momentum=0.9)
+    rng = np.random.default_rng(0)
+    ref_m.train()
+    for step in range(250):
+        idx = rng.integers(0, len(samples), 4)
+        imgs = torch.from_numpy(np.stack([samples[i][0] for i in idx]).transpose(0, 3, 1, 2))
+        cls, boxes, bidx = [], [], []
+        for bi, i in enumerate(idx):
+            lb = samples[i][1]
+            cls.append(lb[:, 0:1])
+            boxes.append(lb[:, 1:])
+            bidx.append(np.full(len(lb), bi))
+        batch = {
+            "img": imgs,
+            "cls": torch.from_numpy(np.concatenate(cls)).float(),
+            "bboxes": torch.from_numpy(np.concatenate(boxes)).float(),
+            "batch_idx": torch.from_numpy(np.concatenate(bidx)).float(),
+        }
+        loss, _ = criterion(ref_m(imgs), batch)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref_m.eval()
+
+    ours = DetectionModel("yolov8n.yaml", nc=NC)
+    variables = convert_state_dict(ours, dict(ref_m.state_dict()))
+    r = _run_reference(ref_m, dataset, rect=False)
+    o = _run_ours(ours, variables, dataset, rect=False)
+    print(f"[trained] ref mAP50={r['map50']:.4f} ours={o['map50']:.4f}")
+    assert r["map50"] > 0.25, f"reference failed to learn (mAP50={r['map50']})"
+    _assert_agreement(r, o, "trained")

@@ -16,6 +16,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for direct invocation
+
 
 def make_seg_dataset(root, n_train=96, n_val=24, size=160, nc=3, seed=0):
     """Filled circles / rectangles / triangles with exact polygon labels."""

@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for direct invocation
+
 V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
 
 
