@@ -145,6 +145,149 @@ def convert_sam_state_dict(sd, depth=12, decoder_depth=2, num_mask_tokens=4):
     }
 
 
+# ---------------------------------------------------------------------------
+# SAM2
+# ---------------------------------------------------------------------------
+def _mlp2(sd, p):
+    """Reference MLP(num_layers=2) -> our MLPBlock {lin1, lin2}."""
+    return {"lin1": _lin(sd, f"{p}.layers.0"), "lin2": _lin(sd, f"{p}.layers.1")}
+
+
+def convert_hiera(sd, model, prefix="image_encoder.trunk"):
+    """Hiera trunk (reference encoders.py:645). pos embeds are NCHW in torch."""
+    blocks = {}
+    for i, blk in enumerate(model.blocks):
+        bp = f"{prefix}.blocks.{i}"
+        b = {
+            "norm1": _ln(sd, f"{bp}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{bp}.attn.qkv"), "proj": _lin(sd, f"{bp}.attn.proj")},
+            "norm2": _ln(sd, f"{bp}.norm2"),
+            "mlp": _mlp2(sd, f"{bp}.mlp"),
+        }
+        if f"{bp}.proj.weight" in sd:
+            b["proj"] = _lin(sd, f"{bp}.proj")
+        blocks[str(i)] = b
+    return {
+        "patch_embed": _conv(sd, f"{prefix}.patch_embed.proj"),
+        "pos_embed": np.transpose(_np(sd[f"{prefix}.pos_embed"]), (0, 2, 3, 1)),
+        "pos_embed_window": np.transpose(_np(sd[f"{prefix}.pos_embed_window"]), (0, 2, 3, 1)),
+        "blocks": blocks,
+    }
+
+
+def convert_fpn_neck(sd, n_levels=4, prefix="image_encoder.neck"):
+    """FpnNeck laterals. Reference convs[j] serves level (n-1-j) — highest
+    channels first; ours are indexed low-stride-first."""
+    return {
+        "convs": {
+            str(i): _conv(sd, f"{prefix}.convs.{n_levels - 1 - i}.conv") for i in range(n_levels)
+        }
+    }
+
+
+def convert_memory_encoder(sd, prefix="memory_encoder"):
+    md = {
+        "layers": {str(i): _conv(sd, f"{prefix}.mask_downsampler.encoder.{3 * i}") for i in range(4)},
+        "lns": {str(i): _ln(sd, f"{prefix}.mask_downsampler.encoder.{3 * i + 1}") for i in range(4)},
+        "final": _conv(sd, f"{prefix}.mask_downsampler.encoder.12"),
+    }
+    fuser = {}
+    i = 0
+    while f"{prefix}.fuser.layers.{i}.dwconv.weight" in sd:
+        fp = f"{prefix}.fuser.layers.{i}"
+        fuser[str(i)] = {
+            "dwconv": _conv(sd, f"{fp}.dwconv"),
+            "norm": _ln(sd, f"{fp}.norm"),
+            "pw1": _lin(sd, f"{fp}.pwconv1"),
+            "pw2": _lin(sd, f"{fp}.pwconv2"),
+            "gamma": _np(sd[f"{fp}.gamma"]),
+        }
+        i += 1
+    out = {
+        "mask_downsampler": md,
+        "pix_feat_proj": _conv(sd, f"{prefix}.pix_feat_proj"),
+        "fuser": fuser,
+    }
+    if f"{prefix}.out_proj.weight" in sd:
+        out["out_proj"] = _conv(sd, f"{prefix}.out_proj")
+    return out
+
+
+def convert_memory_attention(sd, num_layers=4, prefix="memory_attention"):
+    layers = {}
+    for i in range(num_layers):
+        lp = f"{prefix}.layers.{i}"
+        layers[str(i)] = {
+            "self_attn": _attn(sd, f"{lp}.self_attn"),
+            "cross_attn": _attn(sd, f"{lp}.cross_attn_image"),
+            "norm1": _ln(sd, f"{lp}.norm1"),
+            "norm2": _ln(sd, f"{lp}.norm2"),
+            "norm3": _ln(sd, f"{lp}.norm3"),
+            "lin1": _lin(sd, f"{lp}.linear1"),
+            "lin2": _lin(sd, f"{lp}.linear2"),
+        }
+    return {"layers": layers, "norm": _ln(sd, f"{prefix}.norm")}
+
+
+def convert_sam2_mask_decoder(sd, prefix="sam_mask_decoder", depth=2, num_mask_tokens=4):
+    blocks = {}
+    for i in range(depth):
+        bp = f"{prefix}.transformer.layers.{i}"
+        blocks[str(i)] = {
+            "self_attn": _attn(sd, f"{bp}.self_attn"),
+            "norm1": _ln(sd, f"{bp}.norm1"),
+            "cross_t2i": _attn(sd, f"{bp}.cross_attn_token_to_image"),
+            "norm2": _ln(sd, f"{bp}.norm2"),
+            "mlp": _mlp2(sd, f"{bp}.mlp"),  # SAM2 decoder MLP uses layers.{0,1}
+            "norm3": _ln(sd, f"{bp}.norm3"),
+            "cross_i2t": _attn(sd, f"{bp}.cross_attn_image_to_token"),
+            "norm4": _ln(sd, f"{bp}.norm4"),
+        }
+    return {
+        "obj_score_token": _np(sd[f"{prefix}.obj_score_token.weight"]),
+        "iou_token": _np(sd[f"{prefix}.iou_token.weight"]),
+        "mask_tokens": _np(sd[f"{prefix}.mask_tokens.weight"]),
+        "blocks": blocks,
+        "final_t2i": _attn(sd, f"{prefix}.transformer.final_attn_token_to_image"),
+        "final_norm": _ln(sd, f"{prefix}.transformer.norm_final_attn"),
+        "up1": _convT(sd, f"{prefix}.output_upscaling.0"),
+        "up_ln": _ln(sd, f"{prefix}.output_upscaling.1"),
+        "up2": _convT(sd, f"{prefix}.output_upscaling.3"),
+        "conv_s0": _conv(sd, f"{prefix}.conv_s0"),
+        "conv_s1": _conv(sd, f"{prefix}.conv_s1"),
+        "hyper_mlps": {
+            str(i): _sam_mlp(sd, f"{prefix}.output_hypernetworks_mlps.{i}") for i in range(num_mask_tokens)
+        },
+        "iou_head": _sam_mlp(sd, f"{prefix}.iou_prediction_head"),
+        "obj_score_head": _sam_mlp(sd, f"{prefix}.pred_obj_score_head"),
+    }
+
+
+def convert_sam2_state_dict(sd, model):
+    """Full SAM2 torch state_dict -> our SAM2Model variables pytree.
+
+    `model` is our SAM2Model (block counts / fuser depth read from it)."""
+    sd = {k: v for k, v in sd.items()}
+    n_layers = len(model.memory_attention.layers)
+    out = {
+        "image_encoder": {
+            "trunk": convert_hiera(sd, model.image_encoder.trunk),
+            "neck": convert_fpn_neck(sd, n_levels=len(model.image_encoder.neck.convs)),
+        },
+        "sam_prompt_encoder": convert_prompt_encoder(sd, prefix="sam_prompt_encoder"),
+        "sam_mask_decoder": convert_sam2_mask_decoder(sd),
+        "memory_attention": convert_memory_attention(sd, num_layers=n_layers),
+        "memory_encoder": convert_memory_encoder(sd),
+        "obj_ptr_proj": _sam_mlp(sd, "obj_ptr_proj"),
+        "no_mem_embed": _np(sd["no_mem_embed"]),
+        "no_mem_pos_enc": _np(sd["no_mem_pos_enc"]),
+        # torch (num_maskmem, 1, 1, mem_dim) -> ours (num_maskmem, 1, mem_dim)
+        "maskmem_tpos_enc": _np(sd["maskmem_tpos_enc"]).reshape(model.num_maskmem, 1, model.mem_dim),
+        "no_obj_ptr": _np(sd["no_obj_ptr"]),
+    }
+    return out
+
+
 def load_sam_checkpoint(path, variant="sam_b"):
     """Load an official SAM .pth checkpoint into a (SAMModel, variables) pair.
 

@@ -69,6 +69,19 @@ REGISTRY = {
     "HGStem": M.HGStem,
     "HGBlock": M.HGBlock,
     "RepC3": M.RepC3,
+    "Conv2": M.Conv2,
+    "ConvTranspose": M.ConvTranspose,
+    "DWConvTranspose2d": M.DWConvTranspose2d,
+    "GhostBottleneck": M.GhostBottleneck,
+    "C3x": M.C3x,
+    "C3TR": M.C3TR,
+    "C3Ghost": M.C3Ghost,
+    "BottleneckCSP": M.BottleneckCSP,
+    "ResNetLayer": M.ResNetLayer,
+    "C2fPSA": M.C2fPSA,
+    "TransformerBlock": M.TransformerBlock,
+    "Index": M.Index,
+    "AGLU": M.AGLU,
     "Concat": M.Concat,
     "nn.Identity": M.Identity,
     "Identity": M.Identity,
@@ -95,9 +108,14 @@ BASE_MODULES = {
     M.C3k, M.C3k2, M.C2PSA, M.PSA, M.SCDown, M.SPP, M.SPPF, M.RepVGGBlock, M.Classify,
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
     M.CIB, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn, M.ConvTranspose2dRaw,
+    M.Conv2, M.ConvTranspose, M.DWConvTranspose2d, M.GhostBottleneck, M.C3x, M.C3TR,
+    M.C3Ghost, M.BottleneckCSP, M.ResNetLayer, M.C2fPSA,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
-REPEAT_MODULES = {M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn}
+REPEAT_MODULES = {
+    M.C1, M.C2, M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.RepC3, M.A2C2f,
+    M.C2fAttn, M.C3x, M.C3TR, M.C3Ghost, M.BottleneckCSP, M.C2fPSA,
+}
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect, M.WorldDetect}
 
 
@@ -228,6 +246,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             if cls is M.C2fAttn:  # embed channels + heads scaling (tasks.py:1028-1030)
                 args[3] = make_divisible(min(args[3], max_channels // 2) * width, 8)
                 args[4] = int(max(round(min(args[4], max_channels // 2 // 32) * width), 1) if args[4] > 1 else args[4])
+            if cls is M.ResNetLayer:  # output = e*c2 unless stem (reference tasks.py)
+                # args = [c1, c2, s, is_first, n] after insertion
+                is_first = len(args) > 3 and bool(args[3])
+                c2 = args[1] if is_first else args[1] * 4
         elif mname == "AIFI":
             c2 = ch_list[f]
             args = [c2, *args]

@@ -1568,3 +1568,339 @@ class Classify(Module):
         y = jnp.mean(y.astype(jnp.float32), axis=(1, 2))  # global average pool
         y = y @ v["linear"]["kernel"] + v["linear"]["bias"]
         return y if ctx.train else jax.nn.softmax(y, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# extended zoo (round 2): remaining reference blocks used by legacy/aux yamls
+# ---------------------------------------------------------------------------
+class Conv2(Conv):
+    """RepConv-style Conv with a parallel 1x1 branch summed before BN
+    (reference conv.py:58); fuse folds the 1x1 into the kxk kernel center."""
+
+    def __init__(self, c1, c2, k=3, s=1, p=None, g=1, d=1, act=True):
+        super().__init__(c1, c2, k, s, p, g, d, act)
+
+    def init(self, key):
+        v = super().init(key)
+        fan_in = self.c1 // self.g
+        v["cv2"] = {"kernel": _kaiming_uniform(_child_key(key, "cv2"), (1, 1, self.c1 // self.g, self.c2), fan_in)}
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
+        if "cv2" in v:
+            y = y + conv2d(x, v["cv2"]["kernel"], self.s, 0, self.d, self.g)
+        if "bn" in v:
+            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        else:
+            y = (y + v["conv"]["bias"]).astype(ctx.dtype)
+        return silu(y) if self.act is True else y
+
+    def fuse_vars(self, v):
+        if "cv2" in v:
+            w = v["conv"]["kernel"]
+            pad = self.k // 2
+            w = w.at[pad : pad + 1, pad : pad + 1].add(v["cv2"]["kernel"])
+            v = {"conv": {"kernel": w}, **({"bn": v["bn"]} if "bn" in v else {})}
+        return super().fuse_vars(v)
+
+
+class ConvTranspose(Module):
+    """ConvTranspose2d + optional BN + SiLU (reference conv.py:118)."""
+
+    def __init__(self, c1, c2, k=2, s=2, p=0, bn=True, act=True):
+        self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p
+        self.bn, self.act = bn, act
+
+    def init(self, key):
+        fan_in = self.c1 * self.k * self.k
+        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c1, self.c2), fan_in)}
+        if self.bn:
+            v["bn"] = _bn_init(self.c2)
+        else:
+            v["bias"] = jnp.zeros((self.c2,), jnp.float32)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        y = jax.lax.conv_transpose(
+            x, v["kernel"].astype(x.dtype), (self.s, self.s),
+            ((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if "bn" in v:
+            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        else:
+            y = (y + v["bias"]).astype(ctx.dtype)
+        return silu(y) if self.act is True else y
+
+
+class DWConvTranspose2d(ConvTranspose):
+    """Depth-wise transposed conv (reference conv.py:110): groups=gcd, no bn/act."""
+
+    def __init__(self, c1, c2, k=1, s=1, p1=0, p2=0):
+        assert c1 == c2, "depthwise transpose implemented for c1 == c2"
+        super().__init__(c1, c2, k, s, p1, bn=False, act=False)
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        # feature_group_count path: apply per-channel transpose via grouped conv
+        y = jax.lax.conv_transpose(
+            x, v["kernel"].astype(x.dtype), (self.s, self.s),
+            ((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return (y + v["bias"]).astype(ctx.dtype)
+
+
+class GhostBottleneck(Module):
+    """Ghost bottleneck (reference block.py:316)."""
+
+    def __init__(self, c1, c2, k=3, s=1):
+        c_ = c2 // 2
+        self.s = s
+        self.g1 = GhostConv(c1, c_, 1, 1)
+        self.dw = DWConv(c_, c_, k, s, act=False) if s == 2 else None
+        self.g2 = GhostConv(c_, c2, 1, 1, act=False)
+        if s == 2:
+            self.sc_dw = DWConv(c1, c1, k, s, act=False)
+            self.sc_pw = Conv(c1, c2, 1, 1, act=False)
+        self.add = s == 1 and c1 == c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.g1(v["g1"], x, ctx)
+        if self.dw is not None:
+            y = self.dw(v["dw"], y, ctx)
+        y = self.g2(v["g2"], y, ctx)
+        if self.s == 2:
+            sc = self.sc_pw(v["sc_pw"], self.sc_dw(v["sc_dw"], x, ctx), ctx)
+            return y + sc
+        return x + y if self.add else y
+
+
+class RectConv(Module):
+    """Conv+BN+SiLU with an asymmetric (kh, kw) kernel (C3x cross convs)."""
+
+    def __init__(self, c1, c2, k=(1, 3), s=1, act=True):
+        self.c1, self.c2, self.kh, self.kw, self.s, self.act = c1, c2, k[0], k[1], s, act
+
+    def init(self, key):
+        fan_in = self.c1 * self.kh * self.kw
+        return {
+            "conv": {"kernel": _kaiming_uniform(key, (self.kh, self.kw, self.c1, self.c2), fan_in)},
+            "bn": _bn_init(self.c2),
+        }
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = x.astype(ctx.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, v["conv"]["kernel"].astype(x.dtype), (self.s, self.s),
+            ((self.kh // 2, self.kh // 2), (self.kw // 2, self.kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        return silu(y) if self.act is True else y
+
+
+class _CrossBottleneck(Module):
+    """Bottleneck with (1,3)/(3,1) cross kernels (reference C3x's Bottleneck)."""
+
+    def __init__(self, c1, c2, shortcut=True, e=1.0):
+        c_ = int(c2 * e)
+        self.cv1 = RectConv(c1, c_, (1, 3))
+        self.cv2 = RectConv(c_, c2, (3, 1))
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv2(v["cv2"], self.cv1(v["cv1"], x, ctx), ctx)
+        return x + y if self.add else y
+
+
+class C3x(C3):
+    """C3 with cross convolutions (reference block.py C3x)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [_CrossBottleneck(c_, c_, shortcut, e=1.0) for _ in range(n)]
+
+
+class C3Ghost(C3):
+    """C3 with GhostBottlenecks (reference block.py C3Ghost)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [GhostBottleneck(c_, c_) for _ in range(n)]
+
+
+class TransformerLayer(Module):
+    """Self-attention + 2-linear FFN, both residual, no norms
+    (reference transformer.py:118)."""
+
+    def __init__(self, c, num_heads):
+        from drone_yolo_tpu.nn.transformer import Linear
+
+        self.c, self.nh = c, num_heads
+        self.q = Linear(c, c, bias=False)
+        self.k = Linear(c, c, bias=False)
+        self.v = Linear(c, c, bias=False)
+        # torch MultiheadAttention in/out projections
+        self.in_proj = Linear(c, 3 * c)
+        self.out_proj = Linear(c, c)
+        self.fc1 = Linear(c, c, bias=False)
+        self.fc2 = Linear(c, c, bias=False)
+
+    def _mha(self, v, q, k, val, ctx):
+        b, n, c = q.shape
+        hd = c // self.nh
+        w, bias = v["in_proj"]["kernel"], v["in_proj"]["bias"]
+        qp = q @ w[:, :c] + bias[:c]
+        kp = k @ w[:, c : 2 * c] + bias[c : 2 * c]
+        vp = val @ w[:, 2 * c :] + bias[2 * c :]
+        qh = qp.reshape(b, n, self.nh, hd)
+        kh = kp.reshape(b, -1, self.nh, hd)
+        vh = vp.reshape(b, -1, self.nh, hd)
+        attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hd), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, n, c)
+        return self.out_proj(v["out_proj"], out, ctx)
+
+    def __call__(self, v, x, ctx: Ctx):
+        q = self.q(v["q"], x, ctx)
+        k = self.k(v["k"], x, ctx)
+        val = self.v(v["v"], x, ctx)
+        x = self._mha(v, q, k, val, ctx) + x
+        return self.fc2(v["fc2"], self.fc1(v["fc1"], x, ctx), ctx) + x
+
+
+class TransformerBlock(Module):
+    """Vision transformer over an NHWC map (reference transformer.py:137)."""
+
+    def __init__(self, c1, c2, num_heads, num_layers):
+        from drone_yolo_tpu.nn.transformer import Linear
+
+        self.conv = Conv(c1, c2) if c1 != c2 else None
+        self.linear = Linear(c2, c2)  # learned positional embedding
+        self.tr = [TransformerLayer(c2, num_heads) for _ in range(num_layers)]
+        self.c2 = c2
+
+    def __call__(self, v, x, ctx: Ctx):
+        if self.conv is not None:
+            x = self.conv(v["conv"], x, ctx)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + self.linear(v["linear"], p, ctx)
+        for i, t in enumerate(self.tr):
+            p = t(v["tr"][str(i)], p, ctx)
+        return p.reshape(b, h, w, self.c2)
+
+
+class C3TR(C3):
+    """C3 with a TransformerBlock core (reference block.py C3TR)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [TransformerBlock(c_, c_, 4, n)]
+
+
+class BottleneckCSP(Module):
+    """Original CSP bottleneck (reference block.py:353)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        c_ = int(c2 * e)
+        self.c_ = c_
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv2dRaw(c1, c_, 1, 1, p=0, bias=False)
+        self.cv3 = Conv2dRaw(c_, c_, 1, 1, p=0, bias=False)
+        self.cv4 = Conv(2 * c_, c2, 1, 1)
+        self.m = [Bottleneck(c_, c_, shortcut, g, e=1.0) for _ in range(n)]
+
+    def init(self, key):
+        v = super().init(key)
+        v["bn"] = _bn_init(2 * self.c_)
+        return v
+
+    def __call__(self, v, x, ctx: Ctx):
+        a = self.cv1(v["cv1"], x, ctx)
+        for i, m in enumerate(self.m):
+            a = m(v["m"][str(i)], a, ctx)
+        y1 = self.cv3(v["cv3"], a, ctx)
+        y2 = self.cv2(v["cv2"], x, ctx)
+        y = _bn_apply(v["bn"], jnp.concatenate([y1, y2], axis=-1), ctx, f"{self.path}.bn")
+        return self.cv4(v["cv4"], silu(y).astype(ctx.dtype), ctx)
+
+
+class ResNetBlock(Module):
+    """ResNet bottleneck block (reference block.py:375)."""
+
+    def __init__(self, c1, c2, s=1, e=4):
+        c3 = e * c2
+        self.cv1 = Conv(c1, c2, 1, 1)
+        self.cv2 = Conv(c2, c2, 3, s)
+        self.cv3 = Conv(c2, c3, 1, act=False)
+        self.short = Conv(c1, c3, 1, s, act=False) if s != 1 or c1 != c3 else None
+
+    def __call__(self, v, x, ctx: Ctx):
+        y = self.cv3(v["cv3"], self.cv2(v["cv2"], self.cv1(v["cv1"], x, ctx), ctx), ctx)
+        sc = self.short(v["short"], x, ctx) if self.short is not None else x
+        return jax.nn.relu(y + sc)
+
+
+class ResNetLayer(Module):
+    """Stack of ResNet blocks, or the stem when is_first (reference block.py:392)."""
+
+    def __init__(self, c1, c2, s=1, is_first=False, n=1, e=4):
+        self.is_first = is_first
+        if is_first:
+            self.stem = Conv(c1, c2, 7, 2, p=3)
+        else:
+            self.blocks = [ResNetBlock(c1, c2, s, e=e)] + [ResNetBlock(e * c2, c2, 1, e=e) for _ in range(n - 1)]
+
+    def __call__(self, v, x, ctx: Ctx):
+        if self.is_first:
+            y = self.stem(v["stem"], x, ctx)
+            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+        for i, b in enumerate(self.blocks):
+            x = b(v["blocks"][str(i)], x, ctx)
+        return x
+
+
+class C2fPSA(C2f):
+    """C2f with PSA attention blocks (reference block.py:1048)."""
+
+    def __init__(self, c1, c2, n=1, e=0.5):
+        assert c1 == c2
+        super().__init__(c1, c2, n=n, shortcut=False, e=e)
+        self.m = [PSABlock(self.c, attn_ratio=0.5, num_heads=max(1, self.c // 64)) for _ in range(n)]
+
+
+class Index(Module):
+    """Select one tensor from a list input (reference conv.py:336)."""
+
+    def __init__(self, index=0):
+        self.index = index
+
+    def __call__(self, v, x, ctx: Ctx):
+        return x[self.index]
+
+
+class AGLU(Module):
+    """Unified activation (reference activation.py:8): learnable lambda/kappa."""
+
+    def __init__(self, *_args):
+        pass
+
+    def init(self, key):
+        return {
+            "lambd": jax.random.uniform(_child_key(key, "l"), (1,), jnp.float32),
+            "kappa": jax.random.uniform(_child_key(key, "k"), (1,), jnp.float32),
+        }
+
+    def __call__(self, v, x, ctx: Ctx):
+        lam = jnp.clip(v["lambd"], 0.0001, None)
+        # Softplus(beta=-1): -log(1 + exp(-x))
+        inner = v["kappa"] * x - jnp.log(lam)
+        return jnp.exp((1.0 / lam) * (-jnp.log1p(jnp.exp(-inner))))

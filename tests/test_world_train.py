@@ -86,22 +86,28 @@ def test_world_trainer_learns(tmp_path):
     from drone_yolo_tpu.models.yolo.world import WorldTrainer
 
     m = YOLOWorld("yolov8n-worldv2.yaml")
+    # the contrastive head needs a few hundred SGD steps from scratch (the
+    # 500-step overfit probe reaches conf 0.89 with correct classes)
     m.train(
         trainer=WorldTrainer,
         data=str(yaml_path),
-        epochs=12,
+        epochs=40,
         imgsz=64,
         batch=8,
         nbs=8,  # accumulate=1: an optimizer step every batch
+        optimizer="SGD",
+        lr0=0.01,
         workers=1,
         project=str(tmp_path),
         name="world",
         val=True,
         plots=False,
         verbose=False,
-        warmup_epochs=0.5,
-        patience=30,
-        mosaic=0.5,
+        warmup_epochs=1.0,
+        patience=60,
+        mosaic=0.0,
+        fliplr=0.0,
+        scale=0.2,
     )
     rows = list(csv.DictReader(open(tmp_path / "world" / "results.csv")))
     assert len(rows) >= 6
