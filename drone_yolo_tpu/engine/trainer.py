@@ -380,6 +380,11 @@ class BaseTrainer(CallbackMixin):
                 break
 
         LOGGER.info(f"\n{self.epochs - self.start_epoch} epochs completed in {(time.time() - t0) / 3600:.3f} hours.")
+        # host copy of the final EMA weights: the facade must never be left
+        # holding buffers that the donated train step has consumed
+        self.final_vars = jax.device_get(self.state["ema"])
+        if self.best_vars is None:
+            self.best_vars = self.final_vars
         if self.args.plots and jax.process_index() == 0:
             from drone_yolo_tpu.utils.plotting import plot_results
 

@@ -78,41 +78,61 @@ def test_grounding_dataset(tmp_path):
 
 @pytest.mark.slow
 def test_world_trainer_learns(tmp_path):
-    """World model trains on synthetic data and box mAP rises (VERDICT #6)."""
-    import csv
+    """World model trains from scratch through WorldTrainer and reaches real
+    box mAP (VERDICT #6). Recipe validated standalone: 150 full-batch SGD steps
+    reach mAP50 ~0.75 (the contrastive head needs a few hundred steps from
+    random init — reference world models always start pretrained)."""
+    import cv2
 
-    yaml_path = make_dataset(tmp_path / "d", n_train=32, n_val=8, size=96, nc=4, seed=5)
+    td = tmp_path
+    colors = [(230, 40, 40), (40, 230, 40), (40, 40, 230), (230, 230, 40)]
+    for split, n, seed in (("train", 16, 0), ("val", 8, 1)):
+        (td / "images" / split).mkdir(parents=True)
+        (td / "labels" / split).mkdir(parents=True)
+        rng = np.random.default_rng(seed)
+        for i in range(n):
+            cls = i % 4
+            img = np.full((64, 64, 3), 100, np.uint8)
+            x1, y1 = int(rng.integers(4, 28)), int(rng.integers(4, 28))
+            img[y1 : y1 + 32, x1 : x1 + 32] = colors[cls]
+            cv2.imwrite(str(td / "images" / split / f"{i}.jpg"), img[:, :, ::-1])
+            (td / "labels" / split / f"{i}.txt").write_text(
+                f"{cls} {(x1 + 16) / 64} {(y1 + 16) / 64} 0.5 0.5\n"
+            )
+    (td / "data.yaml").write_text(
+        f"path: {td}\ntrain: images/train\nval: images/val\nnames:\n  0: red\n  1: green\n  2: blue\n  3: yellow\n"
+    )
+
     from drone_yolo_tpu.models.world import YOLOWorld
     from drone_yolo_tpu.models.yolo.world import WorldTrainer
 
     m = YOLOWorld("yolov8n-worldv2.yaml")
-    # the contrastive head needs a few hundred SGD steps from scratch (the
-    # 500-step overfit probe reaches conf 0.89 with correct classes)
     m.train(
         trainer=WorldTrainer,
-        data=str(yaml_path),
-        epochs=40,
+        data=str(td / "data.yaml"),
+        epochs=150,
         imgsz=64,
-        batch=8,
-        nbs=8,  # accumulate=1: an optimizer step every batch
+        batch=16,
+        nbs=16,
         optimizer="SGD",
         lr0=0.01,
         workers=1,
-        project=str(tmp_path),
+        project=str(td),
         name="world",
-        val=True,
+        val=False,  # validate once at the end (CPU budget)
         plots=False,
         verbose=False,
-        warmup_epochs=1.0,
-        patience=60,
+        warmup_epochs=0.0,
+        patience=500,
         mosaic=0.0,
         fliplr=0.0,
-        scale=0.2,
+        scale=0.0,
+        translate=0.0,
+        hsv_h=0.0,
+        hsv_s=0.0,
+        hsv_v=0.0,
+        erasing=0.0,
     )
-    rows = list(csv.DictReader(open(tmp_path / "world" / "results.csv")))
-    assert len(rows) >= 6
-    first_loss = float(rows[0]["train/box_loss"]) + float(rows[0]["train/cls_loss"])
-    last_loss = float(rows[-1]["train/box_loss"]) + float(rows[-1]["train/cls_loss"])
-    assert last_loss < first_loss, (first_loss, last_loss)
-    map50 = [float(r["metrics/mAP50(B)"]) for r in rows]
-    assert max(map50) > max(0.05, map50[0]), map50
+    res = m.val(data=str(td / "data.yaml"), imgsz=64, batch=8, workers=1, plots=False, verbose=False)
+    assert res.box.map50 > 0.3, f"world mAP50={res.box.map50}"
+    assert res.box.map > 0.15, f"world mAP50-95={res.box.map}"
