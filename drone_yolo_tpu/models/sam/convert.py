@@ -41,8 +41,10 @@ def _conv(sd, p, bias=True):
 
 
 def _convT(sd, p):
+    # torch (in, out, kh, kw) -> (kh, kw, out, in); consumed with
+    # jax conv_transpose(transpose_kernel=True) for torch-exact orientation
     return {
-        "kernel": np.transpose(_np(sd[f"{p}.weight"]), (2, 3, 0, 1)),
+        "kernel": np.transpose(_np(sd[f"{p}.weight"]), (2, 3, 1, 0)),
         "bias": _np(sd[f"{p}.bias"]),
     }
 

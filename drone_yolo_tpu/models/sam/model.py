@@ -130,6 +130,10 @@ class SAM:
         if not pts:
             pts = [np.array([[s / 2, s / 2]], np.float32)]
             lbl = [np.array([1], np.int32)]
+        if box is None:
+            # reference pads points with (0, 0, label=-1) when no box is given
+            pts.append(np.zeros((1, 2), np.float32))
+            lbl.append(-np.ones(1, np.int32))
         points_a = jnp.asarray(np.concatenate(pts))[None]
         labels_a = jnp.asarray(np.concatenate(lbl))[None]
 

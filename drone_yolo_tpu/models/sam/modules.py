@@ -314,11 +314,11 @@ class MaskDecoder(Module):
         v["mask_tokens"] = jax.random.normal(_child_key(key, "mt"), (self.num_mask_tokens, self.dim), jnp.float32)
         d = self.dim
         v["up1"] = {
-            "kernel": jax.random.normal(_child_key(key, "u1"), (2, 2, d, d // 4), jnp.float32) * 0.02,
+            "kernel": jax.random.normal(_child_key(key, "u1"), (2, 2, d // 4, d), jnp.float32) * 0.02,
             "bias": jnp.zeros((d // 4,), jnp.float32),
         }
         v["up2"] = {
-            "kernel": jax.random.normal(_child_key(key, "u2"), (2, 2, d // 4, d // 8), jnp.float32) * 0.02,
+            "kernel": jax.random.normal(_child_key(key, "u2"), (2, 2, d // 8, d // 4), jnp.float32) * 0.02,
             "bias": jnp.zeros((d // 8,), jnp.float32),
         }
         return v
@@ -347,9 +347,9 @@ class MaskDecoder(Module):
 
         # upscale image features 4x
         src2 = keys.reshape(b, h, w, c).astype(jnp.float32)
-        up = jax.lax.conv_transpose(src2, v["up1"]["kernel"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["up1"]["bias"]
+        up = jax.lax.conv_transpose(src2, v["up1"]["kernel"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True) + v["up1"]["bias"]
         up = jax.nn.gelu(self.up_ln(v["up_ln"], up, ctx), approximate=False)
-        up = jax.lax.conv_transpose(up, v["up2"]["kernel"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["up2"]["bias"]
+        up = jax.lax.conv_transpose(up, v["up2"]["kernel"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True) + v["up2"]["bias"]
         up = jax.nn.gelu(up, approximate=False)  # (B, 4h, 4w, c/8)
 
         hyper = jnp.stack(

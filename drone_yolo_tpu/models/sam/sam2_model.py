@@ -102,8 +102,12 @@ class SAM2Model(Module):
         in input-image pixels; labels (B, P). Returns (masks, ious, obj_ptr,
         obj_score_logits); masks are low-res (B, T, 4h, 4w) logits."""
         pv = v["sam_prompt_encoder"]
-        sparse = self.sam_prompt_encoder.encode_points(pv, points, labels)
         b = pix_feat.shape[0]
+        # SAM2 always passes boxes=None, so the reference prompt encoder
+        # appends a (0, 0, label=-1) padding point (encoders.py _embed_points)
+        points = jnp.concatenate([points, jnp.zeros((b, 1, 2), points.dtype)], axis=1)
+        labels = jnp.concatenate([labels, -jnp.ones((b, 1), labels.dtype)], axis=1)
+        sparse = self.sam_prompt_encoder.encode_points(pv, points, labels)
         h, w = self.sam_prompt_encoder.embed_size
         dense = jnp.broadcast_to(pv["no_mask"][0], (b, h, w, self.hidden))
         image_pe = self.sam_prompt_encoder.dense_pe(pv)

@@ -55,6 +55,31 @@ def get_1d_sine_pe(pos, dim, temperature=10000.0):
     return jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], -1)
 
 
+def _torch_cubic_weights(n_in, n_out, a=-0.75):
+    """Interpolation matrix (n_out, n_in) matching torch F.interpolate
+    bicubic (align_corners=False, edge-replicated, Keys kernel a=-0.75).
+    Built host-side with numpy at trace time — static shapes."""
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    W = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        j0 = int(np.floor(src))
+        for t in range(-1, 3):
+            j = j0 + t
+            w = k(src - j)
+            W[i, min(max(j, 0), n_in - 1)] += w
+    return W
+
+
 def axial_rope_angles(h, w, head_dim, theta=10000.0):
     """Axial RoPE rotation angles for an (h*w) grid: (h*w, head_dim//2).
 
@@ -212,7 +237,12 @@ class Hiera(Module):
         return v
 
     def _pos_embed(self, v, h, w):
-        pe = jax.image.resize(v["pos_embed"], (1, h, w, self.embed_dim), method="bicubic")
+        # torch-exact bicubic (a=-0.75) via static interpolation matrices;
+        # jax.image.resize's bicubic uses a=-0.5 and diverges from checkpoints
+        bh, bw = self.window_pos_bkg
+        Wh = jnp.asarray(_torch_cubic_weights(bh, h))
+        Ww = jnp.asarray(_torch_cubic_weights(bw, w))
+        pe = jnp.einsum("hi,biwc->bhwc", Wh, jnp.einsum("wj,bijc->biwc", Ww, v["pos_embed"]))
         win = v["pos_embed_window"]
         tiles = (1, h // win.shape[1], w // win.shape[2], 1)
         return pe + jnp.tile(win, tiles)
@@ -436,11 +466,11 @@ class SAM2MaskDecoder(Module):
         ):
             v[name] = jax.random.normal(_child_key(key, name), shape, jnp.float32) * 0.02
         v["up1"] = {
-            "kernel": jax.random.normal(_child_key(key, "u1"), (2, 2, d, d // 4), jnp.float32) * 0.02,
+            "kernel": jax.random.normal(_child_key(key, "u1"), (2, 2, d // 4, d), jnp.float32) * 0.02,
             "bias": jnp.zeros((d // 4,), jnp.float32),
         }
         v["up2"] = {
-            "kernel": jax.random.normal(_child_key(key, "u2"), (2, 2, d // 4, d // 8), jnp.float32) * 0.02,
+            "kernel": jax.random.normal(_child_key(key, "u2"), (2, 2, d // 8, d // 4), jnp.float32) * 0.02,
             "bias": jnp.zeros((d // 8,), jnp.float32),
         }
         return v
@@ -470,12 +500,12 @@ class SAM2MaskDecoder(Module):
 
         src2 = keys.reshape(b, h, w, c).astype(jnp.float32)
         up = jax.lax.conv_transpose(src2, v["up1"]["kernel"], (2, 2), "VALID",
-                                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["up1"]["bias"]
+                                    dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True) + v["up1"]["bias"]
         if high_res_feats is not None:
             up = up + high_res_feats[1].astype(jnp.float32)
         up = jax.nn.gelu(self.up_ln(v["up_ln"], up, ctx), approximate=False)
         up = jax.lax.conv_transpose(up, v["up2"]["kernel"], (2, 2), "VALID",
-                                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["up2"]["bias"]
+                                    dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True) + v["up2"]["bias"]
         if high_res_feats is not None:
             up = up + high_res_feats[0].astype(jnp.float32)
         up = jax.nn.gelu(up, approximate=False)

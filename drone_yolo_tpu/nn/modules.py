@@ -333,7 +333,7 @@ class ConvTranspose2dRaw(Module):
 
     def init(self, key):
         fan_in = self.c1 * self.k * self.k
-        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c1, self.c2), fan_in)}
+        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c2, self.c1), fan_in)}
         if self.bias:
             v["bias"] = _kaiming_uniform(_child_key(key, "b"), (self.c2,), fan_in)
         return v
@@ -345,6 +345,7 @@ class ConvTranspose2dRaw(Module):
             strides=(self.s, self.s),
             padding=((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,  # torch ConvTranspose2d orientation
         )
         if self.bias:
             y = y + v["bias"].astype(ctx.dtype)
@@ -1446,6 +1447,7 @@ class Proto(Module):
             strides=(2, 2),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,  # torch ConvTranspose2d orientation
         ) + v["up"]["bias"].astype(ctx.dtype)
         y = self.cv2(v["cv2"], y, ctx)
         return self.cv3(v["cv3"], y, ctx)
@@ -1615,7 +1617,7 @@ class ConvTranspose(Module):
 
     def init(self, key):
         fan_in = self.c1 * self.k * self.k
-        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c1, self.c2), fan_in)}
+        v = {"kernel": _kaiming_uniform(_child_key(key, "w"), (self.k, self.k, self.c2, self.c1), fan_in)}
         if self.bn:
             v["bn"] = _bn_init(self.c2)
         else:
@@ -1627,7 +1629,7 @@ class ConvTranspose(Module):
         y = jax.lax.conv_transpose(
             x, v["kernel"].astype(x.dtype), (self.s, self.s),
             ((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
         )
         if "bn" in v:
             y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
@@ -1649,7 +1651,7 @@ class DWConvTranspose2d(ConvTranspose):
         y = jax.lax.conv_transpose(
             x, v["kernel"].astype(x.dtype), (self.s, self.s),
             ((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
         )
         return (y + v["bias"]).astype(ctx.dtype)
 

@@ -47,8 +47,9 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
         return v
 
     if isinstance(mod, M.ConvTranspose2dRaw):
-        # torch ConvTranspose2d weight is (in, out, kh, kw) -> HWIO
-        v = {"kernel": np.transpose(_np(sd[f"{prefix}.weight"]), (2, 3, 0, 1))}
+        # torch ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, out, in)
+        # for jax conv_transpose(transpose_kernel=True) == torch orientation
+        v = {"kernel": np.transpose(_np(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
         if mod.bias:
             v["bias"] = _np(sd[f"{prefix}.bias"])
         return v
@@ -75,7 +76,9 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             "cv3": convert_module(mod.cv3, sd, f"{prefix}.cv3"),
             # ConvTranspose2d weight is (in, out, kh, kw) in torch -> HWIO
             "up": {
-                "kernel": np.transpose(_np(sd[f"{prefix}.upsample.weight"]), (2, 3, 0, 1)),
+                # torch ConvTranspose2d (in, out, kh, kw) -> (kh, kw, out, in)
+                # for jax conv_transpose(transpose_kernel=True)
+                "kernel": np.transpose(_np(sd[f"{prefix}.upsample.weight"]), (2, 3, 1, 0)),
                 "bias": _np(sd[f"{prefix}.upsample.bias"]),
             },
         }

@@ -51,6 +51,8 @@ def pair():
     )
     _randomize(ref_m, 0)
     ref_m.set_imgsz((IMG, IMG))
+    # reference set_imgsz updates the prompt encoder but not this mirror field
+    ref_m.sam_image_embedding_size = IMG // 16
     ours = SAM2Model("sam2_t", img_size=IMG)
     ours.set_paths("model")
     variables = convert_sam2_state_dict(dict(ref_m.state_dict()), ours)
