@@ -11,6 +11,7 @@ from drone_yolo_tpu.solutions.speed_estimation import SpeedEstimator
 from drone_yolo_tpu.solutions.region_counter import RegionCounter
 from drone_yolo_tpu.solutions.queue_management import QueueManager
 from drone_yolo_tpu.solutions.distance_calculation import DistanceCalculation
+from drone_yolo_tpu.solutions.inference_app import Inference
 from drone_yolo_tpu.solutions.extra import (
     AIGym,
     Analytics,
@@ -22,7 +23,7 @@ from drone_yolo_tpu.solutions.extra import (
 
 __all__ = [
     "BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator",
-    "RegionCounter", "QueueManager", "DistanceCalculation",
+    "RegionCounter", "QueueManager", "DistanceCalculation", "Inference",
     "AIGym", "Analytics", "InstanceSegmentation", "ParkingManagement",
     "SecurityAlarm", "TrackZone",
 ]

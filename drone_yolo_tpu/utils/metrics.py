@@ -47,11 +47,18 @@ def match_predictions(pred_classes, true_classes, iou, iouv) -> np.ndarray:
             vals = iou[m_gt, m_pred]
             order = vals.argsort()[::-1]
             m_gt, m_pred = m_gt[order], m_pred[order]
-            # greedy one-to-one: keep first (highest IoU) per pred and per GT
+            # Greedy one-to-one, reference-exact (validator.py:257-263): the
+            # first unique() keeps the highest-IoU GT per prediction but
+            # REORDERS matches by ascending prediction index (np.unique
+            # side effect). The second unique() then resolves GT conflicts in
+            # that order — i.e. each GT keeps its highest-CONFIDENCE matching
+            # prediction (NMS emits predictions conf-descending), not its
+            # highest-IoU one. This ordering measurably changes mAP; do not
+            # "fix" it to IoU order.
             _, ip = np.unique(m_pred, return_index=True)
-            m_gt, m_pred = m_gt[np.sort(ip)], m_pred[np.sort(ip)]
+            m_gt, m_pred = m_gt[ip], m_pred[ip]
             _, ig = np.unique(m_gt, return_index=True)
-            m_gt, m_pred = m_gt[np.sort(ig)], m_pred[np.sort(ig)]
+            m_gt, m_pred = m_gt[ig], m_pred[ig]
             correct[m_pred, ti] = True
     return correct
 

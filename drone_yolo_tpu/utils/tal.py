@@ -25,6 +25,24 @@ import jax.numpy as jnp
 from drone_yolo_tpu.ops.boxes import bbox_iou
 
 
+def kth_largest(x, k: int):
+    """k-th largest value along the last axis, keepdims, WITHOUT a full sort.
+
+    lax.top_k lowers to a variadic sort of the whole (B, M, A) metric tensor on
+    TPU (xprof showed the sort plus its S(1) staging copies dominating the train
+    step). k-1 rounds of "mask out the current max" + one final max is pure
+    elementwise/reduce work the VPU streams at HBM speed. Value-ties collapse
+    in one round, which can only *lower* the threshold (admitting the tied
+    anchors) — the same inclusive-tie semantics the `align >= kth` threshold
+    trick already has.
+    """
+    cur = x
+    for _ in range(k - 1):
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        cur = jnp.where(cur >= m, -jnp.inf, cur)
+    return jnp.max(cur, axis=-1, keepdims=True)
+
+
 def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
     """(A, 2) anchor centers inside (B, M, 4) xyxy GT boxes -> (B, M, A) bool."""
     lt = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, :2]  # (B,M,A,2)
@@ -65,7 +83,7 @@ def assign(
     align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
 
     # ---- top-k candidates per GT (threshold against k-th largest) ----------
-    kth = jax.lax.top_k(align, topk)[0][..., -1:]  # (B, M, 1)
+    kth = kth_largest(align, topk)  # (B, M, 1)
     mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
     mask_pos = mask_topk & valid  # (B, M, A)
 
@@ -146,7 +164,7 @@ def assign_rotated(
     valid = mask_in_gts & mask_gt[:, :, None]
     align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
 
-    kth = jax.lax.top_k(align, topk)[0][..., -1:]
+    kth = kth_largest(align, topk)
     mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
     mask_pos = mask_topk & valid
 

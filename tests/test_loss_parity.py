@@ -91,3 +91,25 @@ def test_detection_loss_parity():
 
     np.testing.assert_allclose(np.asarray(items), ref_items, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(float(total), ref_total, rtol=2e-3)
+
+
+def test_varifocal_focal_parity():
+    """Standalone VFL/Focal alternates match reference loss.py:16-63 exactly."""
+    import torch
+
+    from drone_yolo_tpu.utils.loss import focal_loss, varifocal_loss
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(4, 80)).astype(np.float32) * 3
+    gt_score = rng.random((4, 80), np.float32)
+    label = (rng.random((4, 80)) > 0.7).astype(np.float32)
+
+    ref_vfl = ref.utils.loss.VarifocalLoss.forward(
+        torch.tensor(logits), torch.tensor(gt_score), torch.tensor(label)
+    ).item()
+    ours_vfl = float(varifocal_loss(jnp.asarray(logits), jnp.asarray(gt_score), jnp.asarray(label)))
+    np.testing.assert_allclose(ours_vfl, ref_vfl, rtol=1e-5)
+
+    ref_fl = ref.utils.loss.FocalLoss.forward(torch.tensor(logits), torch.tensor(label)).item()
+    ours_fl = float(focal_loss(jnp.asarray(logits), jnp.asarray(label)))
+    np.testing.assert_allclose(ours_fl, ref_fl, rtol=1e-5)

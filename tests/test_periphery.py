@@ -127,3 +127,108 @@ def test_tuner_mutation_bounds():
         g = t._mutate(parent)
         for k, bounds in t.space.items():
             assert bounds[0] <= g[k] <= bounds[1]
+
+
+def test_streamlit_inference_app_under_fakes():
+    """solutions.Inference drives the full UI->model->frame loop with an
+    injected fake streamlit module and fake capture (no streamlit needed)."""
+    import numpy as np
+
+    from drone_yolo_tpu.solutions import Inference
+
+    class Pane:
+        def __init__(self):
+            self.frames = []
+
+        def image(self, img, **kw):
+            self.frames.append(np.asarray(img))
+
+        def empty(self):
+            return self
+
+    class Sidebar:
+        def __init__(self, st):
+            self.st = st
+
+        def title(self, *a):
+            pass
+
+        def selectbox(self, label, options):
+            return options[0]  # webcam / first model
+
+        def radio(self, label, options):
+            return "No"  # tracking off -> plain predict path
+
+        def slider(self, label, lo, hi, val, step):
+            return val
+
+        def multiselect(self, label, options, default=None):
+            return default or []
+
+        def file_uploader(self, *a, **k):
+            return None
+
+        def button(self, label):
+            return True  # Start pressed
+
+    class Spinner:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeSt:
+        def __init__(self):
+            self.sidebar = Sidebar(self)
+            self.panes = [Pane(), Pane()]
+
+        def set_page_config(self, **kw):
+            pass
+
+        def markdown(self, *a, **k):
+            pass
+
+        def columns(self, n):
+            return self.panes
+
+        def spinner(self, msg):
+            return Spinner()
+
+        def success(self, msg):
+            pass
+
+        def error(self, msg):
+            pass
+
+        def warning(self, msg):
+            pass
+
+        def button(self, label):
+            return False  # Stop not pressed
+
+        def stop(self):
+            raise SystemExit
+
+    class FakeCap:
+        def __init__(self, source):
+            self.n = 2  # two frames then end
+
+        def isOpened(self):
+            return self.n > 0
+
+        def read(self):
+            self.n -= 1
+            if self.n < 0:
+                return False, None
+            return True, np.full((64, 80, 3), 128, np.uint8)
+
+        def release(self):
+            self.n = 0
+
+    st = FakeSt()
+    app = Inference(st_module=st, capture_factory=FakeCap, model="yolov8n.yaml")
+    app.inference()
+    # both panes got both frames; annotated pane is a rendered HWC image
+    assert len(st.panes[0].frames) == 2 and len(st.panes[1].frames) == 2
+    assert st.panes[1].frames[0].ndim == 3

@@ -1,0 +1,178 @@
+"""Per-op TPU time breakdown of the v8 train step via jax.profiler.ProfileData.
+
+Captures a short trace of the steady-state jitted train step, then aggregates
+device-side op durations by HLO category so the HBM/MXU bottleneck is visible
+without the TensorBoard UI (replaces the reference's thop/torch.profiler flow,
+ultralytics/utils/torch_utils.py:303-421, with XLA-native evidence).
+
+Run: python tools/xprof_breakdown.py [--model yolov8s.yaml] [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(model_name: str, imgsz: int, nc: int):
+    import jax
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.nn import modules as M
+    from drone_yolo_tpu.nn.model import DetectionModel
+    from drone_yolo_tpu.utils.loss import v8DetectionLoss
+
+    model = DetectionModel(model_name, nc=nc)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    criterion = v8DetectionLoss(model)
+
+    @jax.jit
+    def step(params, batch, mom):
+        def loss_fn(p):
+            ctx = M.Ctx(train=True, dtype=jnp.bfloat16, targets=batch, rng=jax.random.PRNGKey(0))
+            feats = model.apply(p, batch["img"] / 255.0, ctx=ctx)
+            total, items = criterion(feats, batch)
+            return total, items
+
+        (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # SGD w/ momentum placeholder matching the real trainer's update cost
+        new = jax.tree_util.tree_map(lambda p, g: p - 0.01 * g.astype(p.dtype), params, grads)
+        return new, total, items
+
+    return model, variables, step
+
+
+def collect(trace_dir: str):
+    """Aggregate per-op device durations from the newest xplane in trace_dir."""
+    from jax.profiler import ProfileData
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    pd = ProfileData.from_serialized_xspace(open(paths[-1], "rb").read())
+    per_op = collections.Counter()
+    total_ps = 0
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            # XLA op lines carry the per-op activity; skip step/async-queue lines
+            if "xla op" not in lname and "xla ops" not in lname:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns
+                name = ev.name
+                per_op[name] += dur
+                total_ps += dur
+    return per_op, total_ps
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "conv" in n:
+        return "conv (fwd/bwd)"
+    if re.search(r"\b(dot|gemm|matmul)", n):
+        return "matmul"
+    if "all-reduce" in n or "allreduce" in n:
+        return "collective"
+    if "copy" in n or "transpose" in n or "bitcast" in n:
+        return "layout/copy"
+    if "reduce" in n or "sort" in n or "top" in n or "scatter" in n or "gather" in n:
+        return "reduce/sort/gather"
+    if "fusion" in n:
+        return "fusion (elementwise)"
+    return "other"
+
+
+def build_infer(model_name: str, imgsz: int, nc: int):
+    import jax
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.nn import modules as M
+    from drone_yolo_tpu.nn.model import DetectionModel
+    from drone_yolo_tpu.ops.nms import non_max_suppression
+
+    model = DetectionModel(model_name, nc=nc)
+    variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
+
+    @jax.jit
+    def step(params, batch, _mom):
+        preds = model.apply(params, batch["img"] / 255.0, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
+        if isinstance(preds, tuple):
+            preds = preds[0]
+        dets, n = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=512)
+        return params, jnp.sum(n).astype(jnp.float32), n
+
+    return model, variables, step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov8s.yaml")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--infer", action="store_true", help="profile fused inference+NMS instead of the train step")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    build = build_infer if args.infer else build_step
+    model, variables, step = build(args.model, args.imgsz, nc=4)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.integers(0, 255, (args.batch, args.imgsz, args.imgsz, 3), np.uint8).astype(np.float32)),
+        "cls": jnp.zeros((args.batch, 32), jnp.float32),
+        "bboxes": jnp.asarray(np.tile(np.array([10, 10, 100, 100], np.float32), (args.batch, 32, 1))),
+        "mask": jnp.ones((args.batch, 32), jnp.float32),
+    }
+    params = jax.device_put(variables)
+
+    # compile + warm
+    params, total, items = step(params, batch, 0.9)
+    _ = np.asarray(total)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, total, items = step(params, batch, 0.9)
+    _ = np.asarray(total)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"steady state: {dt * 1e3:.1f} ms/step  {args.batch / dt:.1f} img/s")
+
+    trace_dir = tempfile.mkdtemp(prefix="xprof_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(2):
+            params, total, items = step(params, batch, 0.9)
+        _ = np.asarray(total)
+
+    per_op, total_ns = collect(trace_dir)
+    print(f"device total in trace: {total_ns / 1e6:.2f} ms (2 steps)")
+    cats = collections.Counter()
+    for name, ns in per_op.items():
+        cats[categorize(name)] += ns
+    print("\n-- by category --")
+    for cat, ns in cats.most_common():
+        print(f"{ns / total_ns * 100:6.2f}%  {ns / 1e6:9.2f} ms  {cat}")
+    print(f"\n-- top {args.top} ops --")
+    for name, ns in per_op.most_common(args.top):
+        print(f"{ns / total_ns * 100:6.2f}%  {ns / 1e6:9.2f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
