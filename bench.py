@@ -30,7 +30,7 @@ def main():
     from drone_yolo_tpu.nn.model import DetectionModel
     from drone_yolo_tpu.ops.nms import non_max_suppression
 
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 256))  # b256 ~3% over b128 (sweep in ROUND2.md)
     imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
     model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
     iters = int(os.environ.get("BENCH_ITERS", 10))

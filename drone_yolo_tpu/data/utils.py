@@ -202,3 +202,117 @@ def check_cls_dataset(dataset, split: str = "") -> dict:
         raise FileNotFoundError(f"{path} missing train/ directory")
     names = sorted(d.name for d in train.iterdir() if d.is_dir())
     return {"train": train, "val": val, "test": test, "nc": len(names), "names": dict(enumerate(names))}
+
+
+class DatasetStats:
+    """Dataset statistics JSON + compressed preview images (reference
+    data/utils.py:472 HUBDatasetStats, minus the HUB upload: zero-egress).
+
+    Produces the same stats schema: per-split instance/image per-class counts
+    and rounded per-image label lists, written to `<dataset>-hub/stats.json`.
+    """
+
+    def __init__(self, path="data.yaml", task: str = "detect"):
+        from drone_yolo_tpu.utils import LOGGER, yaml_load
+
+        self.task = task
+        if task == "classify":
+            data = check_cls_dataset(path)
+            data["path"] = Path(path)
+        else:
+            data = check_det_dataset(path)
+            data.setdefault("path", Path(str(path)).resolve().parent)
+        self.hub_dir = Path(f"{data['path']}-hub")
+        self.im_dir = self.hub_dir / "images"
+        names = data["names"]
+        names = list(names.values()) if isinstance(names, dict) else list(names)
+        self.stats = {"nc": len(names), "names": names}
+        self.data = data
+        LOGGER.info(f"Dataset stats for {path} (task={task})")
+
+    def _round(self, labels: dict):
+        """[cls, *coords(4dp)] rows per instance (reference _round)."""
+        if self.task == "detect":
+            coords = labels["bboxes_n"]
+        elif self.task in {"segment", "obb"}:
+            coords = [np.asarray(s).flatten() for s in labels["segments"]]
+        elif self.task == "pose":
+            kpts = np.asarray(labels["keypoints"])
+            n = len(labels["cls"])
+            coords = np.concatenate([np.asarray(labels["bboxes_n"]), kpts.reshape(n, -1)], 1) if n else []
+        else:
+            raise ValueError(f"Undefined dataset task={self.task}")
+        return [[int(c), *(round(float(x), 4) for x in pts)] for c, pts in zip(np.asarray(labels["cls"]).flatten(), coords)]
+
+    def get_json(self, save: bool = False):
+        """Compute (and optionally save) the stats dict."""
+        import json
+
+        from drone_yolo_tpu.utils import LOGGER
+
+        nc = self.stats["nc"]
+        for split in ("train", "val", "test"):
+            self.stats[split] = None
+            path = self.data.get(split)
+            if path is None:
+                continue
+            if self.task == "classify":
+                files = [f for f in Path(path).rglob("*.*") if f.suffix[1:].lower() in IMG_FORMATS]
+                if not files:
+                    continue
+                classes = sorted(d.name for d in Path(path).iterdir() if d.is_dir())
+                x = np.zeros(len(classes), int)
+                labels = []
+                for f in files:
+                    ci = classes.index(f.parent.name) if f.parent.name in classes else -1
+                    if ci >= 0:
+                        x[ci] += 1
+                        labels.append({f.name: ci})
+                self.stats[split] = {
+                    "instance_stats": {"total": int(x.sum()), "per_class": x.tolist()},
+                    "image_stats": {"total": len(files), "unlabelled": 0, "per_class": x.tolist()},
+                    "labels": labels,
+                }
+                continue
+            from drone_yolo_tpu.data.dataset import YOLODataset
+
+            ds = YOLODataset(img_path=path, data=self.data, task=self.task, augment=False)
+            x = np.array(
+                [np.bincount(np.asarray(lb["cls"]).astype(int).flatten(), minlength=nc) for lb in ds.labels]
+            ).reshape(-1, nc)
+            self.stats[split] = {
+                "instance_stats": {"total": int(x.sum()), "per_class": x.sum(0).tolist()},
+                "image_stats": {
+                    "total": len(ds.labels),
+                    "unlabelled": int(np.all(x == 0, 1).sum()),
+                    "per_class": (x > 0).sum(0).tolist(),
+                },
+                "labels": [{Path(lb["im_file"]).name: self._round(lb)} for lb in ds.labels],
+            }
+        if save:
+            self.hub_dir.mkdir(parents=True, exist_ok=True)
+            p = self.hub_dir / "stats.json"
+            with open(p, "w") as f:
+                json.dump(self.stats, f)
+            LOGGER.info(f"Saved {p}")
+        return self.stats
+
+    def process_images(self, max_dim: int = 1920, quality: int = 50):
+        """Compressed preview copies of every image (reference process_images)."""
+        import cv2
+
+        self.im_dir.mkdir(parents=True, exist_ok=True)
+        for split in ("train", "val", "test"):
+            if self.data.get(split) is None:
+                continue
+            for f in Path(self.data[split]).rglob("*.*"):
+                if f.suffix[1:].lower() not in IMG_FORMATS:
+                    continue
+                im = cv2.imread(str(f))
+                if im is None:
+                    continue
+                r = max_dim / max(im.shape[:2])
+                if r < 1.0:
+                    im = cv2.resize(im, (int(im.shape[1] * r), int(im.shape[0] * r)), interpolation=cv2.INTER_AREA)
+                cv2.imwrite(str(self.im_dir / f.name), im, [cv2.IMWRITE_JPEG_QUALITY, quality])
+        return self.im_dir

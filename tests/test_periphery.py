@@ -232,3 +232,30 @@ def test_streamlit_inference_app_under_fakes():
     # both panes got both frames; annotated pane is a rendered HWC image
     assert len(st.panes[0].frames) == 2 and len(st.panes[1].frames) == 2
     assert st.panes[1].frames[0].ndim == 3
+
+
+def test_dataset_stats(tmp_path):
+    """DatasetStats produces the reference HUBDatasetStats schema locally."""
+    import json
+
+    from make_dataset import make_dataset
+
+    from drone_yolo_tpu.data.utils import DatasetStats
+
+    yaml_path = make_dataset(tmp_path / "d", n_train=3, n_val=2, size=64, nc=3, seed=5)
+    st = DatasetStats(yaml_path, task="detect")
+    stats = st.get_json(save=True)
+    assert stats["nc"] == 3 and len(stats["names"]) == 3
+    for split in ("train", "val"):
+        s = stats[split]
+        assert s is not None
+        assert s["instance_stats"]["total"] == sum(s["instance_stats"]["per_class"])
+        assert s["image_stats"]["total"] == len(s["labels"])
+        # label rows are [cls, x, y, w, h]
+        row = next(iter(s["labels"][0].values()))
+        if row:
+            assert len(row[0]) == 5
+    assert (st.hub_dir / "stats.json").exists()
+    json.load(open(st.hub_dir / "stats.json"))
+    imdir = st.process_images()
+    assert any(imdir.iterdir())
