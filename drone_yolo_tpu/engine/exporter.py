@@ -46,6 +46,44 @@ class Exporter(CallbackMixin):
         self.args = get_cfg(cfg or {}, overrides)
         self.callbacks = _callbacks or get_default_callbacks()
 
+    def _calibration_batches(self, batch: int, imgsz: int, n: int = 8):
+        """Representative float batches for int8 PTQ calibration (reference
+        exporter.py:924-960 calibration-dataloader semantics). Real images
+        from args.data when resolvable, else deterministic random frames."""
+        import numpy as np
+
+        files = []
+        data = getattr(self.args, "data", None)
+        if data:
+            try:
+                from drone_yolo_tpu.data.loaders import IMG_FORMATS
+                from drone_yolo_tpu.data.utils import check_det_dataset
+
+                info = check_det_dataset(data)
+                split = info.get("val") or info.get("train")
+                if split:
+                    files = [f for f in Path(split).rglob("*.*") if f.suffix[1:].lower() in IMG_FORMATS]
+            except Exception as e:  # noqa: BLE001 - calibration falls back to random
+                LOGGER.warning(f"int8 calibration: could not load '{data}' ({e}); using random frames")
+        if files:
+            import cv2
+
+            from drone_yolo_tpu.ops.letterbox import letterbox_np
+
+            for i in range(0, min(len(files), n * batch), batch):
+                chunk = files[i : i + batch]
+                if len(chunk) < batch:
+                    break
+                imgs = []
+                for f in chunk:
+                    im = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+                    imgs.append(letterbox_np(im, (imgsz, imgsz))[0].astype(np.float32) / 255.0)
+                yield [np.stack(imgs)]
+            return
+        rng = np.random.default_rng(0)
+        for _ in range(n):
+            yield [rng.random((batch, imgsz, imgsz, 3), np.float32)]
+
     def __call__(self, facade):
         self.run_callbacks("on_export_start")
         t0 = time.time()
@@ -127,8 +165,20 @@ class Exporter(CallbackMixin):
             produced.append(sm_path)
             if fmt == "tflite":
                 converter = tf.lite.TFLiteConverter.from_saved_model(sm_path)
+                if getattr(self.args, "int8", False):
+                    # post-training int8 quantization with a representative
+                    # calibration set (reference exporter.py:483,924-960). The
+                    # calibration images come from args.data when provided,
+                    # otherwise deterministic random frames (shape-only calib).
+                    converter.optimizations = [tf.lite.Optimize.DEFAULT]
+                    converter.representative_dataset = lambda: self._calibration_batches(batch, imgsz)
+                    converter.target_spec.supported_ops = [
+                        tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+                        tf.lite.OpsSet.TFLITE_BUILTINS,
+                    ]
                 tfl = converter.convert()
-                p = out_base.with_suffix(".tflite")
+                suffix = "_int8.tflite" if getattr(self.args, "int8", False) else ".tflite"
+                p = Path(str(out_base) + suffix)
                 p.write_bytes(tfl)
                 produced.append(str(p))
             if fmt == "onnx":
