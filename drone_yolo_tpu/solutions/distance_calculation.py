@@ -21,4 +21,8 @@ class DistanceCalculation(BaseSolution):
         if len(ids) == 2 and all(i in centers for i in ids):
             (x0, y0), (x1, y1) = centers[ids[0]], centers[ids[1]]
             dist_m = float(np.hypot(x1 - x0, y1 - y0)) * self.mpp
-        return {"im0": self.annotate(im0.copy()), "distance_m": dist_m, "pair": ids if dist_m is not None else None}
+        plotted = self.annotate(im0.copy())
+        if dist_m is not None:
+            self._ann.plot_distance_and_line(dist_m / self.mpp, (centers[ids[0]], centers[ids[1]]))
+            plotted = self._ann.result()
+        return {"im0": plotted, "distance_m": dist_m, "pair": ids if dist_m is not None else None}

@@ -35,7 +35,10 @@ class AIGym(BaseSolution):
         return float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
 
     def process(self, im0):
+        from drone_yolo_tpu.utils.plotting import Annotator
+
         r = self.model.predict(source=[im0], conf=self.conf, verbose=False)[0]
+        ann = Annotator(im0.copy(), line_width=self.line_width)
         if r.keypoints is not None:
             for tid, k in enumerate(r.keypoints.xy):
                 if max(self.kpts) < len(k):
@@ -45,7 +48,12 @@ class AIGym(BaseSolution):
                         self.stage[tid] = "up"
                     elif ang < self.down_angle:
                         self.stage[tid] = "down"
-        return {"im0": im0, "counts": dict(self.count), "stages": dict(self.stage)}
+                    # reference ai_gym.py overlay: angle/reps/stage at the mid joint
+                    ann.kpts(np.asarray(k), shape=im0.shape[:2])
+                    ann.plot_angle_and_count_and_stage(
+                        f"{ang:.1f}", self.count[tid], self.stage[tid], k[self.kpts[1]]
+                    )
+        return {"im0": ann.result(), "counts": dict(self.count), "stages": dict(self.stage)}
 
 
 class ParkingManagement(BaseSolution):
@@ -61,12 +69,22 @@ class ParkingManagement(BaseSolution):
         self.extract_tracks(im0)
         centers = [((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in self.boxes]
         occupied = 0
+        slot_states = []
         for poly in self.parking_regions:
-            if any(self.point_in_region(c, poly) for c in centers):
-                occupied += 1
+            taken = any(self.point_in_region(c, poly) for c in centers)
+            slot_states.append(taken)
+            occupied += int(taken)
         self.occupied = occupied
         self.available = len(self.parking_regions) - occupied
-        return {"im0": self.annotate(im0.copy()), "occupied": self.occupied, "available": self.available}
+        plotted = self.annotate(im0.copy())
+        # reference parking_management.py rendering: red occupied / green free
+        # slot polygons + occupancy analytics block
+        for poly, taken in zip(self.parking_regions, slot_states):
+            self._ann.draw_region(poly, color=(0, 0, 255) if taken else (0, 255, 0), thickness=self.line_width)
+        self._ann.display_analytics(
+            self._ann.im, {"Occupancy": self.occupied, "Available": self.available}
+        )
+        return {"im0": self._ann.result(), "occupied": self.occupied, "available": self.available}
 
 
 class SecurityAlarm(BaseSolution):
@@ -84,7 +102,10 @@ class SecurityAlarm(BaseSolution):
         if n > self.records and not self.triggered:
             self.triggered = True
             self.on_alarm(n)
-        return {"im0": self.annotate(im0.copy()), "n": n, "triggered": self.triggered}
+        plotted = self.annotate(im0.copy())
+        self._ann.display_analytics(plotted, {"Objects": n, "Alarm": "FIRED" if self.triggered else "armed"},
+                                    bg_color=(0, 0, 180) if self.triggered else (104, 31, 17))
+        return {"im0": self._ann.result(), "n": n, "triggered": self.triggered}
 
 
 class TrackZone(BaseSolution):
@@ -102,7 +123,10 @@ class TrackZone(BaseSolution):
         cv2.fillPoly(mask, [np.asarray(self.region, np.int32)], 255)
         masked = cv2.bitwise_and(im0, im0, mask=mask)
         self.extract_tracks(masked)
-        return {"im0": self.annotate(im0.copy()), "n_tracks": len(self.track_ids)}
+        # reference trackzone.py rendering: dim everything outside the zone
+        dimmed = (im0 * 0.35).astype(im0.dtype)
+        base = np.where(mask[..., None].astype(bool), im0, dimmed)
+        return {"im0": self.annotate(base.copy()), "n_tracks": len(self.track_ids)}
 
 
 class InstanceSegmentation(BaseSolution):

@@ -55,4 +55,9 @@ class ObjectCounter(BaseSolution):
             prev = self.track_history[tid][-2] if len(self.track_history[tid]) > 1 else None
             self.count_objects(current, tid, prev, cls)
         plotted = self.annotate(im0.copy())
+        # classwise IN/OUT block like the reference's display_counts
+        text = {k: f"IN {v['IN']} OUT {v['OUT']}" for k, v in self.classwise_counts.items() if v["IN"] or v["OUT"]}
+        if text:
+            self._ann.display_analytics(plotted, text)
+            plotted = self._ann.result()
         return {"im0": plotted, "in_count": self.in_count, "out_count": self.out_count, "classwise": dict(self.classwise_counts)}

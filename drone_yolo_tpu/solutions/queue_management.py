@@ -20,4 +20,6 @@ class QueueManager(BaseSolution):
             c = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
             if len(self.track_history[tid]) > 1 and self.point_in_region(c):
                 self.queue_count += 1
-        return {"im0": self.annotate(im0.copy()), "queue_count": self.queue_count}
+        plotted = self.annotate(im0.copy())
+        self._ann.queue_counts_display(f"Queue Counts : {self.queue_count}", points=self.region)
+        return {"im0": self._ann.result(), "queue_count": self.queue_count}

@@ -68,19 +68,20 @@ class BaseSolution:
             j = i
         return inside
 
-    def annotate(self, im0, label_fn=None):
-        """Draw current tracks (and region) on the frame."""
+    def annotate(self, im0, label_fn=None, tracks: bool = True):
+        """Draw region, boxes, and track traces on the frame (returns the
+        Annotator so subclasses can stack solution-specific overlays)."""
         from drone_yolo_tpu.utils.plotting import Annotator, colors
 
         ann = Annotator(im0, line_width=self.line_width)
         if self.region is not None:
-            import cv2
-
-            pts = np.asarray(self.region, np.int32).reshape(-1, 1, 2)
-            cv2.polylines(ann.im, [pts], True, (104, 0, 123), self.line_width * 2)
+            ann.draw_region(self.region, color=(104, 0, 123), thickness=self.line_width * 2)
         for box, tid, c in zip(self.boxes, self.track_ids, self.clss):
             label = label_fn(tid, c) if label_fn else f"{self.names.get(c, c)} #{tid}"
             ann.box_label(box, label, color=colors(c, True))
+            if tracks and len(self.track_history.get(tid, ())) > 1:
+                ann.draw_centroid_and_tracks(self.track_history[tid], color=colors(c, True), track_thickness=self.line_width)
+        self._ann = ann
         return ann.result()
 
     def process(self, im0):  # pragma: no cover - interface

@@ -131,6 +131,99 @@ class Annotator:
         for i, line in enumerate(text.split("\n")):
             cv2.putText(self.im, line, (xy[0], xy[1] + 20 * (i + 1)), 0, self.sf, txt_color, thickness=self.tf, lineType=cv2.LINE_AA)
 
+    # -- solution-annotation primitives (reference plotting.py:570-931) -------
+
+    def draw_region(self, reg_pts, color=(0, 255, 0), thickness: int = 5):
+        """Region polygon + vertex pins (reference plotting.py:593)."""
+        import cv2
+
+        pts = np.asarray(reg_pts, np.int32).reshape(-1, 1, 2)
+        cv2.polylines(self.im, [pts], True, color, thickness)
+        for p in pts[:, 0]:
+            cv2.circle(self.im, (int(p[0]), int(p[1])), thickness * 2, color, -1)
+
+    def draw_centroid_and_tracks(self, track, color=(255, 0, 255), track_thickness: int = 2):
+        """Track polyline + current-centroid dot (reference plotting.py:608)."""
+        import cv2
+
+        pts = np.asarray(track, np.int32).reshape(-1, 1, 2)
+        cv2.polylines(self.im, [pts], False, color, track_thickness)
+        cv2.circle(self.im, (int(track[-1][0]), int(track[-1][1])), track_thickness * 2, color, -1)
+
+    def _label_box(self, center, label, bg_color, txt_color, margin: int = 5):
+        """Filled label box centered at `center`."""
+        import cv2
+
+        (tw, th), _ = cv2.getTextSize(label, 0, self.sf, self.tf)
+        x, y = int(center[0] - tw / 2), int(center[1] + th / 2)
+        cv2.rectangle(self.im, (x - margin, y - th - margin), (x + tw + margin, y + margin), bg_color, -1)
+        cv2.putText(self.im, label, (x, y), 0, self.sf, txt_color, self.tf, cv2.LINE_AA)
+
+    def queue_counts_display(self, label, points=None, region_color=(255, 255, 255), txt_color=(0, 0, 0)):
+        """Queue count centered in the region (reference plotting.py:621)."""
+        pts = np.asarray(points, np.float32)
+        self._label_box((pts[:, 0].mean(), pts[:, 1].mean()), label, region_color, txt_color, margin=10)
+
+    def display_objects_labels(self, im0, text, txt_color, bg_color, x_center, y_center, margin: int = 5):
+        """Region-count label at a region centroid (reference plotting.py:661)."""
+        self.im = im0
+        self._label_box((x_center, y_center), text, bg_color, txt_color, margin)
+
+    def display_analytics(self, im0, text: dict, txt_color=(255, 255, 255), bg_color=(104, 31, 17), margin: int = 10):
+        """Key/value analytics block in the top-right corner (reference plotting.py:685)."""
+        import cv2
+
+        self.im = im0
+        offset = 0
+        for k, v in text.items():
+            line = f"{k}: {v}"
+            (tw, th), _ = cv2.getTextSize(line, 0, self.sf, self.tf)
+            x, y = im0.shape[1] - tw - 2 * margin, th + 2 * margin + offset
+            cv2.rectangle(self.im, (x - margin, y - th - margin), (x + tw + margin, y + margin), bg_color, -1)
+            cv2.putText(self.im, line, (x, y), 0, self.sf, txt_color, self.tf, cv2.LINE_AA)
+            offset += th + 3 * margin
+
+    @staticmethod
+    def estimate_pose_angle(a, b, c):
+        """Inner angle ABC in degrees (reference plotting.py:715)."""
+        a, b, c = (np.asarray(p, np.float32) for p in (a, b, c))
+        ang = abs(np.degrees(np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(a[1] - b[1], a[0] - b[0])))
+        return 360.0 - ang if ang > 180.0 else ang
+
+    def plot_angle_and_count_and_stage(self, angle_text, count_text, stage_text, center_kpt, color=(104, 31, 17), txt_color=(255, 255, 255)):
+        """Workout angle/reps/stage stack near a joint (reference plotting.py:789)."""
+        import cv2
+
+        x, y = int(center_kpt[0]), int(center_kpt[1])
+        for i, line in enumerate((f"Angle: {angle_text}", f"Reps: {count_text}", f"Stage: {stage_text}")):
+            (tw, th), _ = cv2.getTextSize(line, 0, self.sf, self.tf)
+            yy = y + i * (th + 12)
+            cv2.rectangle(self.im, (x - 5, yy - th - 5), (x + tw + 5, yy + 5), color, -1)
+            cv2.putText(self.im, line, (x, yy), 0, self.sf, txt_color, self.tf, cv2.LINE_AA)
+
+    def plot_distance_and_line(self, pixels_distance, centroids, line_color=(104, 31, 17), centroid_color=(255, 0, 255)):
+        """Distance label + line between two object centroids (reference plotting.py:878)."""
+        import cv2
+
+        label = f"Pixels Distance: {pixels_distance:.2f}"
+        (tw, th), _ = cv2.getTextSize(label, 0, self.sf, self.tf)
+        cv2.rectangle(self.im, (15, 25), (15 + tw + 20, 25 + th + 20), line_color, -1)
+        cv2.putText(self.im, label, (25, 25 + th + 10), 0, self.sf, (255, 255, 255), self.tf, cv2.LINE_AA)
+        c0 = (int(centroids[0][0]), int(centroids[0][1]))
+        c1 = (int(centroids[1][0]), int(centroids[1][1]))
+        cv2.line(self.im, c0, c1, line_color, 3)
+        cv2.circle(self.im, c0, 6, centroid_color, -1)
+        cv2.circle(self.im, c1, 6, centroid_color, -1)
+
+    def visioneye(self, box, center_point, color=(235, 219, 11), pin_color=(255, 0, 255)):
+        """Vision-eye pin from a fixed point to an object center (reference plotting.py:914)."""
+        import cv2
+
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        cv2.circle(self.im, (cx, cy), 6, color, -1)
+        cv2.circle(self.im, (int(center_point[0]), int(center_point[1])), 6, pin_color, -1)
+        cv2.line(self.im, (int(center_point[0]), int(center_point[1])), (cx, cy), color, 2)
+
     def result(self):
         return self.im
 

@@ -259,3 +259,25 @@ def test_dataset_stats(tmp_path):
     json.load(open(st.hub_dir / "stats.json"))
     imdir = st.process_images()
     assert any(imdir.iterdir())
+
+
+def test_solution_annotator_primitives():
+    """Solution overlay primitives draw (pixels change) without errors."""
+    import numpy as np
+
+    from drone_yolo_tpu.utils.plotting import Annotator
+
+    im = np.zeros((200, 300, 3), np.uint8)
+    ann = Annotator(im.copy(), line_width=2)
+    ann.draw_region([(10, 10), (100, 10), (100, 100), (10, 100)])
+    ann.draw_centroid_and_tracks([(20, 20), (40, 45), (60, 70)])
+    ann.queue_counts_display("Queue Counts : 3", points=[(10, 10), (100, 10), (100, 100), (10, 100)])
+    ann.display_analytics(ann.im, {"Occupancy": 2, "Available": 5})
+    ann.display_objects_labels(ann.im, "region-1: 4", (255, 255, 255), (104, 0, 123), 150.0, 50.0)
+    ann.plot_angle_and_count_and_stage("93.4", 3, "down", (120, 120))
+    ann.plot_distance_and_line(42.5, ((30, 30), (200, 150)))
+    ann.visioneye([10, 10, 50, 50], (150, 190))
+    out = ann.result()
+    assert out.shape == im.shape and out.sum() > 0
+    # angle helper matches plain geometry
+    assert abs(Annotator.estimate_pose_angle((0, 0), (0, 1), (1, 1)) - 90.0) < 1e-6
