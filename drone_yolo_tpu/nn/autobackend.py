@@ -26,9 +26,12 @@ class AutoBackend:
     def __init__(self, weights, half: bool = False):
         self.path = Path(str(weights))
         self.half = half
-        p = str(self.path)
+        p = str(weights)
         self.meta: dict = {}
-        if p.endswith(".npz"):
+        if p.startswith(("http://", "grpc://", "triton://")):
+            self.kind = "triton"
+            self._init_triton(p)
+        elif p.endswith(".npz"):
             self.kind = "npz"
             self._init_npz()
         elif p.endswith(".stablehlo"):
@@ -45,6 +48,21 @@ class AutoBackend:
         LOGGER.info(f"AutoBackend: {self.kind} <- {self.path}")
 
     # -- per-format loaders ------------------------------------------------------
+    def _init_triton(self, url: str):
+        """Remote serving endpoint (reference nn/autobackend.py:130-137 'nvidia_triton')."""
+        from drone_yolo_tpu.utils.triton import TritonRemoteModel
+
+        remote = TritonRemoteModel(url.replace("triton://", "http://"))
+        self.model = None
+        self.path = url
+        if remote.metadata:
+            self.meta.update(remote.metadata)
+
+        def call(x):
+            out = remote(np.asarray(x))
+            return out[0] if len(out) == 1 else out
+
+        self._call = call
     def _sibling_meta(self):
         """names/task/stride from whichever sidecar exists."""
         js = Path(str(self.path) + ".json")
