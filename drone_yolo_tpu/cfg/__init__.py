@@ -173,7 +173,7 @@ def entrypoint(debug: str = "") -> None:
     special = {
         "help": lambda: LOGGER.info("yolo-tpu <task> <mode> k=v ..."),
         "version": lambda: LOGGER.info(__import__("drone_yolo_tpu").__version__),
-        "settings": lambda: yaml_print(DEFAULT_CFG_DICT),
+        "settings": lambda: LOGGER.info(dict(__import__("drone_yolo_tpu.utils", fromlist=["get_settings"]).get_settings())),
         "cfg": lambda: yaml_print(DEFAULT_CFG_DICT),
         "copy-cfg": copy_default_cfg,
         "checks": lambda: LOGGER.info(collect_system_info()),
