@@ -122,7 +122,8 @@ class OBBValidator(BaseValidator):
         @jax.jit
         def fn(variables, x):
             preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))
-            return nms_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc)
+            # multi_label=True: validators expand (anchor, class) pairs (reference ops.py:286)
+            return nms_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc, multi_label=True)
 
         self._jit_cache[key] = fn
         return fn

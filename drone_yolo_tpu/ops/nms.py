@@ -174,13 +174,19 @@ def non_max_suppression(
     return dets, n_valid
 
 
-@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "nc"))
-def nms_rotated(preds, conf_thres: float = 0.25, iou_thres: float = 0.45, max_det: int = 300, pre_topk: int = 1024, nc: int = 0):
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "nc", "multi_label"))
+def nms_rotated(preds, conf_thres: float = 0.25, iou_thres: float = 0.45, max_det: int = 300, pre_topk: int = 1024, nc: int = 0, multi_label: bool = False):
     """Batched rotated NMS using probiou (reference utils/ops.py:146 nms_rotated).
 
-    preds: (B, A, 5 + nc) with (cx, cy, w, h, scores..., angle-last layout is NOT
-    used here — pass (cx, cy, w, h, scores..., angle) via caller packing:
-    boxes[..., :4], scores[..., 4:4+nc], angle preds[..., -1:].
+    Reference-exact semantics: FAST (matrix) suppression — a candidate is
+    removed if ANY higher-scored same-class candidate overlaps it with
+    probiou >= iou_thres, regardless of whether that candidate itself
+    survives (`(ious.triu(1) >= threshold).sum(0) <= 0`, ops.py:168) — which
+    prunes more than exact greedy NMS. With `multi_label` (validators), every
+    (anchor, class) pair above conf enters as its own candidate
+    (ops.py:286-288); otherwise best-class-only (predictors).
+
+    preds: (B, A, 5 + nc) packed (cx, cy, w, h, scores..., angle).
     Returns (B, max_det, 7) [cx, cy, w, h, angle, conf, cls] and counts.
     """
     from drone_yolo_tpu.ops.boxes import probiou
@@ -190,22 +196,40 @@ def nms_rotated(preds, conf_thres: float = 0.25, iou_thres: float = 0.45, max_de
     scores = preds[..., 4 : 4 + nc]
     angle = preds[..., 4 + nc : 5 + nc]
     k = min(pre_topk, a)
+    arange = jnp.arange(k)
 
     def single(boxes_i, scores_i, angle_i):
         per_anchor = jnp.max(scores_i, axis=-1)
-        cls_all = jnp.argmax(scores_i, axis=-1)
-        top_scores, idx = jax.lax.top_k(per_anchor, k)
+        _, idx = jax.lax.top_k(per_anchor, k)
+        sc = scores_i[idx]  # (K, nc)
         rb = jnp.concatenate([boxes_i[idx], angle_i[idx]], axis=-1)  # (K, 5)
-        cls_idx = cls_all[idx].astype(jnp.float32)
-        valid = top_scores > conf_thres
-        iou = probiou(rb[:, None, :], rb[None, :, :])
-        same_cls = cls_idx[:, None] == cls_idx[None, :]
-        upper = jnp.triu(jnp.ones((k, k), bool), 1)
-        adj = upper & (iou > iou_thres) & same_cls
-        keep = _greedy_keep(adj, valid)
-        order = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_det]
-        sel_valid = keep[order]
-        det = jnp.concatenate([rb[order], top_scores[order, None], cls_idx[order, None]], axis=-1)
+        iou = probiou(rb[:, None, :], rb[None, :, :])  # (K, K)
+
+        def suppress(s, same_cls):
+            """Fast-NMS survivors for per-candidate scores s (0 = invalid)."""
+            valid = s > conf_thres
+            higher = (s[:, None] > s[None, :]) | ((s[:, None] == s[None, :]) & (arange[:, None] < arange[None, :]))
+            sup = jnp.any(higher & valid[:, None] & same_cls & (iou >= iou_thres), axis=0)
+            return valid & ~sup
+
+        if multi_label and nc > 1:
+            # per-class candidate sets; cross-class pairs never interact
+            # (reference offsets centers by cls*max_wh)
+            keep = jax.lax.map(lambda c: suppress(sc[:, c], True), jnp.arange(nc)).T  # (K, nc)
+            flat = jnp.where(keep, sc, 0.0).reshape(-1)  # (K*nc,)
+            top_s, flat_idx = jax.lax.top_k(flat, min(max_det, flat.shape[0]))
+            ai = flat_idx // nc
+            ci = (flat_idx % nc).astype(jnp.float32)
+            sel_valid = top_s > conf_thres
+            det = jnp.concatenate([rb[ai], top_s[:, None], ci[:, None]], axis=-1)
+        else:
+            s = jnp.max(sc, axis=-1)
+            cls_idx = jnp.argmax(sc, axis=-1).astype(jnp.float32)
+            keep = suppress(s, cls_idx[:, None] == cls_idx[None, :])
+            flat = jnp.where(keep, s, 0.0)
+            top_s, ai = jax.lax.top_k(flat, min(max_det, flat.shape[0]))
+            sel_valid = top_s > conf_thres
+            det = jnp.concatenate([rb[ai], top_s[:, None], cls_idx[ai, None]], axis=-1)
         det = det * sel_valid[:, None].astype(det.dtype)
         return det, jnp.sum(sel_valid.astype(jnp.int32))
 
