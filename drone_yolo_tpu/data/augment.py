@@ -450,6 +450,34 @@ class LetterBoxT:
         return labels
 
 
+class StretchResizeT:
+    """Square stretch-resize (no padding) — RT-DETR val preprocessing
+    (reference rtdetr/val.py:30-43: raw resize to imgsz x imgsz, boxes scale
+    per-axis; ratio_pad None signals native-space rescale by ori/imgsz)."""
+
+    def __init__(self, new_shape=(640, 640)):
+        self.new_shape = new_shape if isinstance(new_shape, (tuple, list)) else (new_shape, new_shape)
+
+    def __call__(self, labels):
+        import cv2
+
+        img = labels["img"]
+        h0, w0 = img.shape[:2]
+        nh, nw = self.new_shape
+        labels["img"] = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if len(labels["bboxes"]):
+            b = labels["bboxes"].astype(np.float32).copy()
+            b[:, [0, 2]] *= nw / w0
+            b[:, [1, 3]] *= nh / h0
+            labels["bboxes"] = b
+        if labels.get("keypoints") is not None:
+            k = labels["keypoints"]
+            k[..., 0] = k[..., 0] * (nw / w0)
+            k[..., 1] = k[..., 1] * (nh / h0)
+        labels["ratio_pad"] = None  # per-axis stretch: rescale via ori/imgsz
+        return labels
+
+
 class BGRChannel:
     """RGB<->BGR swap with probability p (reference `bgr` hyp)."""
 

@@ -47,6 +47,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         data=data,
         task=getattr(cfg, "task", "detect"),
         max_labels=max_labels,
+        stretch=getattr(cfg, "task", "detect") == "rtdetr",
         rect=rect,
         pad=0.0 if mode == "train" else 0.5,
         rect_max_shapes=int(getattr(cfg, "rect_max_shapes", 8) or 8),

@@ -48,10 +48,12 @@ class YOLODataset:
         max_labels: int | None = None,
         rect: bool = False,
         rect_max_shapes: int = 8,
+        stretch: bool = False,
     ):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
+        self.stretch = stretch  # RT-DETR: square stretch-resize, no letterbox pad
         self.single_cls = single_cls
         self.prefix = prefix
         self.fraction = fraction
@@ -221,6 +223,12 @@ class YOLODataset:
             raise FileNotFoundError(f"Image not found {path}")
         im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
         h0, w0 = im.shape[:2]
+        if self.stretch:  # RT-DETR: square stretch (reference base.py rect_mode=False)
+            if (h0, w0) != (self.imgsz, self.imgsz):
+                im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+            if self.cache:
+                self._ram[i] = im
+            return im
         r = self.imgsz / max(h0, w0)
         if r != 1:
             im = cv2.resize(im, (min(math.ceil(w0 * r), self.imgsz), min(math.ceil(h0 * r), self.imgsz)), interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
@@ -266,7 +274,11 @@ class YOLODataset:
     def build_transforms(self, hyp=None):
         """Train: v8_transforms; val: LetterBox only (reference dataset.py:174)."""
         if self.augment and hyp is not None:
-            t = v8_transforms(self, self.imgsz, hyp)
+            t = v8_transforms(self, self.imgsz, hyp, stretch=self.stretch)
+        elif self.stretch:
+            from drone_yolo_tpu.data.augment import StretchResizeT
+
+            t = Compose([StretchResizeT((self.imgsz, self.imgsz))])
         else:
             t = Compose([LetterBoxT((self.imgsz, self.imgsz), scaleup=False)])
         return t

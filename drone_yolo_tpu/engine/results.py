@@ -193,7 +193,10 @@ class Results(SimpleClass):
     def __init__(self, orig_img, path, names, boxes=None, masks=None, probs=None, keypoints=None, obb=None, speed=None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
-        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None and len(boxes) else None
+        # empty detections still yield a len-0 Boxes (reference results.py:661:
+        # `self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None`
+        # — the predictor always passes a tensor, so user code can len() it)
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.probs = Probs(probs, self.orig_shape) if probs is not None else None
         self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None

@@ -79,6 +79,8 @@ class ClassificationValidator(BaseValidator):
             preds.append(np.asarray(top5))
             targets.append(batch["cls"])
             n_img += len(batch["cls"])
+        self.pred = preds  # per-batch top-5 indices (reference val.py:46 self.pred)
+        self.targets = targets
         self.metrics.process(np.concatenate(targets), np.concatenate(preds))
         self.metrics.speed["inference"] = (time.perf_counter() - t0) / max(n_img, 1) * 1e3
         LOGGER.info(f"top1: {self.metrics.top1:.4f} top5: {self.metrics.top5:.4f}")
