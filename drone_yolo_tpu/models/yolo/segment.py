@@ -122,11 +122,13 @@ class SegmentationValidator(BaseValidator):
             # mask TP at proto resolution
             om = batch.get("masks")
             tp_m = np.zeros((n, len(self.iouv)), bool)
-            if n and n_gt and om is not None:
+            pm = None
+            if n and (self.args.save_json or (n_gt and om is not None)):
                 pm = np.asarray(
                     process_mask(jnp.asarray(protos[i]), jnp.asarray(d[:, 6:]), jnp.asarray(d[:, :4]), in_shape)
                 )
                 pm = pm > 0.5
+            if n and n_gt and om is not None:
                 omi = om[i]
                 if omi.shape != pm.shape[1:]:
                     import cv2
@@ -150,6 +152,75 @@ class SegmentationValidator(BaseValidator):
             self.stats["conf"].append(d[:, 4])
             self.stats["pred_cls"].append(d[:, 5])
             self.stats["target_cls"].append(gt_cls)
+            if self.args.save_json and n:
+                from drone_yolo_tpu.ops.masks import scale_masks_np
+
+                native = scale_masks_np(pm.astype(np.float32), ori_shape, in_shape, ratio_pad=rp) > 0.5
+                self.pred_to_json(d, batch["im_files"][i], masks=native)
+
+    def pred_to_json(self, d, im_file, masks=None):
+        """COCO records with RLE segmentation (reference segment/val.py:158
+        pred_to_json: `encode(np.asarray(x, order="F"))`; we emit uncompressed
+        RLE — accepted by pycocotools loadRes and our numpy evaluator)."""
+        from pathlib import Path
+
+        from drone_yolo_tpu.utils.cocoeval import rle_encode
+
+        stem = Path(im_file).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        for j, (*xyxy, conf, cls) in enumerate(d[:, :6]):
+            x1, y1, x2, y2 = xyxy
+            rec = {
+                "image_id": image_id,
+                "category_id": int(cls),
+                "bbox": [round(float(x1), 3), round(float(y1), 3), round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                "score": round(float(conf), 5),
+            }
+            if masks is not None:
+                rec["segmentation"] = rle_encode(masks[j])
+            self.jdict.append(rec)
+
+    def _gt_coco_dict(self):
+        """Detect GT dict + rasterized polygon RLEs for the segm protocol."""
+        import cv2
+
+        from drone_yolo_tpu.utils.cocoeval import rle_area, rle_encode
+
+        gt = super()._gt_coco_dict()
+        # labels iterate in the same (image, instance) order as the base dict
+        by_image = {}
+        for lb in self.dataloader.dataset.labels:
+            from pathlib import Path
+
+            stem = Path(lb["im_file"]).stem
+            by_image[int(stem) if stem.isnumeric() else stem] = lb
+        for ann in gt["annotations"]:
+            lb = by_image[ann["image_id"]]
+            h, w = lb["shape"]
+            # nth annotation of this image -> nth segment
+            idx = sum(1 for a in gt["annotations"] if a["image_id"] == ann["image_id"] and a["id"] < ann["id"])
+            segs = lb.get("segments") or []
+            if idx < len(segs):
+                m = np.zeros((int(h), int(w)), np.uint8)
+                pts = (np.asarray(segs[idx], np.float32) * [w, h]).astype(np.int32)
+                cv2.fillPoly(m, [pts], 1)
+                ann["segmentation"] = rle_encode(m.astype(bool))
+                ann["area"] = rle_area(ann["segmentation"])
+        return gt
+
+    def eval_json(self):
+        """bbox + segm COCO eval (reference segment/val.py:278 evaluates both)."""
+        stats = super().eval_json()
+        if any("segmentation" in d for d in self.jdict):
+            from drone_yolo_tpu.utils import LOGGER
+            from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+            gt = self._gt_coco_dict()
+            seg_stats = COCOevalNP(gt, [d for d in self.jdict if "segmentation" in d], iou_type="segm").run()
+            LOGGER.info(f"COCO eval (segm): AP={seg_stats['AP']:.4f} AP50={seg_stats['AP50']:.4f}")
+            self.coco_stats = {**stats, **{f"{k}(M)": v for k, v in seg_stats.items()}}
+            return self.coco_stats
+        return stats
 
     def get_stats(self):
         tp = np.concatenate(self.stats["tp"]) if self.stats["tp"] else np.zeros((0, len(self.iouv)), bool)

@@ -30,6 +30,55 @@ AREA_RNG = {
 MAX_DETS = (1, 10, 100)
 
 
+def rle_encode(mask) -> dict:
+    """Binary mask (H, W) -> COCO uncompressed RLE (column-major counts,
+    alternating runs starting with zeros) — the dict pycocotools emits from
+    `mask.encode` before LEB128 compression; `loadRes` accepts it as-is."""
+    mask = np.asarray(mask, bool)
+    flat = mask.T.reshape(-1)  # column-major
+    if flat.size == 0:
+        return {"size": [int(mask.shape[0]), int(mask.shape[1])], "counts": [0]}
+    changes = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    runs = np.diff(np.concatenate([[0], changes, [flat.size]]))
+    counts = [int(c) for c in runs]
+    if flat[0]:  # counts must start with a zero-run
+        counts = [0] + counts
+    return {"size": [int(mask.shape[0]), int(mask.shape[1])], "counts": counts}
+
+
+def rle_decode(rle: dict):
+    """COCO uncompressed RLE -> binary mask (H, W)."""
+    h, w = rle["size"]
+    flat = np.zeros(h * w, bool)
+    pos, val = 0, False
+    for c in rle["counts"]:
+        if val:
+            flat[pos : pos + c] = True
+        pos += c
+        val = not val
+    return flat.reshape(w, h).T
+
+
+def rle_area(rle: dict) -> float:
+    return float(sum(rle["counts"][1::2]))
+
+
+def _iou_masks(dts, gts):
+    """Mask IoU matrix (D, G) from RLE dicts; crowd GT uses inter/det_area
+    (pycocotools mask.iou iscrowd semantics)."""
+    if len(dts) == 0 or len(gts) == 0:
+        return np.zeros((len(dts), len(gts)))
+    dm = np.stack([rle_decode(d["segmentation"]).reshape(-1) for d in dts])
+    gm = np.stack([rle_decode(g["segmentation"]).reshape(-1) for g in gts])
+    inter = (dm[:, None, :] & gm[None, :, :]).sum(-1).astype(float)
+    da = dm.sum(-1).astype(float)[:, None]
+    ga = gm.sum(-1).astype(float)[None, :]
+    union = da + ga - inter
+    crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])[None, :]
+    denom = np.where(crowd, da, union)
+    return inter / np.maximum(denom, 1e-12)
+
+
 def _iou_xywh(d, g):
     """IoU matrix between det (D,4) and gt (G,4) boxes in xywh."""
     if len(d) == 0 or len(g) == 0:
@@ -45,7 +94,7 @@ def _iou_xywh(d, g):
     return inter / np.maximum(union, 1e-12)
 
 
-def _evaluate_img(dts, gts, area_rng, max_det):
+def _evaluate_img(dts, gts, area_rng, max_det, iou_type: str = "bbox"):
     """Match one (image, category) pair. Returns per-threshold det matches,
     det-ignore flags, det scores, and the number of non-ignored gt."""
     T = len(IOU_THRS)
@@ -64,7 +113,7 @@ def _evaluate_img(dts, gts, area_rng, max_det):
 
     dbox = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
     gbox = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
-    ious = _iou_xywh(dbox, gbox)
+    ious = _iou_masks(dts, gts) if iou_type == "segm" else _iou_xywh(dbox, gbox)
 
     D, G = len(dts), len(gts)
     dt_m = -np.ones((T, D), int)  # index of matched gt, -1 = unmatched
@@ -87,7 +136,10 @@ def _evaluate_img(dts, gts, area_rng, max_det):
                 continue
             dt_m[ti, di] = m
             gt_m[ti, m] = di
-    d_area = dbox[:, 2] * dbox[:, 3] if D else np.zeros(0)
+    if iou_type == "segm":
+        d_area = np.array([rle_area(d["segmentation"]) for d in dts]) if D else np.zeros(0)
+    else:
+        d_area = dbox[:, 2] * dbox[:, 3] if D else np.zeros(0)
     d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
     # det ignored if matched to ignored gt, or unmatched and outside area range
     dt_ig = np.zeros((T, D), bool)
@@ -103,11 +155,12 @@ def _evaluate_img(dts, gts, area_rng, max_det):
 
 
 class COCOevalNP:
-    """Numpy COCOeval for bbox. Usage: ev = COCOevalNP(gt, dt); ev.run(); ev.stats."""
+    """Numpy COCOeval for bbox/segm. Usage: ev = COCOevalNP(gt, dt[, "segm"]); ev.run(); ev.stats."""
 
-    def __init__(self, gt: dict, dt: list):
+    def __init__(self, gt: dict, dt: list, iou_type: str = "bbox"):
         self.gt = gt
         self.dt = dt
+        self.iou_type = iou_type
         self.cat_ids = sorted({c["id"] for c in gt.get("categories", [])} or {a["category_id"] for a in gt["annotations"]})
         self.img_ids = [im["id"] for im in gt["images"]]
         self._gts = defaultdict(list)
@@ -131,7 +184,7 @@ class COCOevalNP:
             for ai, (_, arng) in enumerate(area_items):
                 per_img = [
                     _evaluate_img(
-                        self._dts.get((img, cat), []), self._gts.get((img, cat), []), arng, max(MAX_DETS)
+                        self._dts.get((img, cat), []), self._gts.get((img, cat), []), arng, max(MAX_DETS), self.iou_type
                     )
                     for img in self.img_ids
                     if (img, cat) in self._dts or (img, cat) in self._gts

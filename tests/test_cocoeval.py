@@ -84,3 +84,73 @@ def test_validator_eval_json_end_to_end(tmp_path):
     if v.jdict:
         assert hasattr(v, "coco_stats")
         assert "AP" in v.coco_stats
+
+
+def test_rle_roundtrip():
+    import numpy as np
+
+    from drone_yolo_tpu.utils.cocoeval import rle_area, rle_decode, rle_encode
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = rng.random((13, 17)) > 0.6
+        rle = rle_encode(m)
+        assert rle["counts"][0] >= 0 and sum(rle["counts"]) == m.size
+        np.testing.assert_array_equal(rle_decode(rle), m)
+        assert rle_area(rle) == m.sum()
+    # empty + full masks
+    for m in (np.zeros((4, 6), bool), np.ones((4, 6), bool)):
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+
+
+def test_segm_protocol():
+    """Perfect masks -> AP 1; shifted masks graded by mask IoU, not box IoU."""
+    import numpy as np
+
+    from drone_yolo_tpu.utils.cocoeval import COCOevalNP, rle_encode
+
+    def circle(cx, cy, r, hw=(64, 64)):
+        yy, xx = np.mgrid[: hw[0], : hw[1]]
+        return (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+
+    m1, m2 = circle(20, 20, 10), circle(45, 45, 12)
+    gt = {
+        "images": [{"id": 0, "height": 64, "width": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 0, "bbox": [10, 10, 20, 20],
+             "area": float(m1.sum()), "iscrowd": 0, "segmentation": rle_encode(m1)},
+            {"id": 2, "image_id": 0, "category_id": 0, "bbox": [33, 33, 24, 24],
+             "area": float(m2.sum()), "iscrowd": 0, "segmentation": rle_encode(m2)},
+        ],
+        "categories": [{"id": 0, "name": "a"}],
+    }
+    dt = [
+        {"image_id": 0, "category_id": 0, "bbox": [10, 10, 20, 20], "score": 0.9, "segmentation": rle_encode(m1)},
+        {"image_id": 0, "category_id": 0, "bbox": [33, 33, 24, 24], "score": 0.8, "segmentation": rle_encode(m2)},
+    ]
+    assert COCOevalNP(gt, dt, iou_type="segm").run()["AP"] == 1.0
+
+    # a 6px-shifted second mask: IoU ~0.5 -> passes low thresholds only
+    dt_shift = [dt[0], {**dt[1], "segmentation": rle_encode(circle(51, 45, 12))}]
+    s = COCOevalNP(gt, dt_shift, iou_type="segm").run()
+    assert s["AP50"] == 1.0 and s["AP"] < 1.0
+
+
+def test_seg_validator_save_json(tmp_path):
+    """Segment save_json path: RLE predictions written, bbox+segm eval runs."""
+    from make_dataset import make_seg_dataset
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.models.yolo.segment import SegmentationValidator
+
+    yaml_path = make_seg_dataset(tmp_path / "d", n_val=4, nc=2, seed=2, size=96)
+    m = YOLO("yolov8n-seg.yaml")
+    v = SegmentationValidator(
+        args=dict(data=str(yaml_path), imgsz=96, batch=2, save_json=True, conf=0.01, workers=0,
+                  mode="val", task="segment", verbose=False, plots=False,
+                  project=str(tmp_path), name="segcocoval")
+    )
+    v(model=m)
+    if v.jdict:
+        assert any("segmentation" in d for d in v.jdict)
+        assert "AP(M)" in v.coco_stats
