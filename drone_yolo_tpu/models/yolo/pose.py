@@ -109,6 +109,65 @@ class PoseValidator(BaseValidator):
             self.stats["conf"].append(d[:, 4])
             self.stats["pred_cls"].append(d[:, 5])
             self.stats["target_cls"].append(gt_cls)
+            if self.args.save_json and n:
+                self.pred_to_json(d, batch["im_files"][i], pk)
+
+    def pred_to_json(self, d, im_file, kpts):
+        """COCO keypoint records (reference pose/val.py:225): bbox xywh +
+        flattened native-space keypoints."""
+        from pathlib import Path
+
+        stem = Path(im_file).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        for j, (*xyxy, conf, cls) in enumerate(d[:, :6]):
+            x1, y1, x2, y2 = xyxy
+            self.jdict.append(
+                {
+                    "image_id": image_id,
+                    "category_id": int(cls),
+                    "bbox": [round(float(x1), 3), round(float(y1), 3), round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                    "keypoints": [round(float(v), 3) for v in np.asarray(kpts[j]).reshape(-1)],
+                    "score": round(float(conf), 5),
+                }
+            )
+
+    def _gt_coco_dict(self):
+        """Detect GT dict + per-annotation keypoints for the OKS protocol."""
+        from pathlib import Path
+
+        gt = super()._gt_coco_dict()
+        by_image = {}
+        for lb in self.dataloader.dataset.labels:
+            stem = Path(lb["im_file"]).stem
+            by_image[int(stem) if stem.isnumeric() else stem] = lb
+        seen = {}
+        for ann in gt["annotations"]:
+            lb = by_image[ann["image_id"]]
+            h, w = lb["shape"]
+            idx = seen.get(ann["image_id"], 0)
+            seen[ann["image_id"]] = idx + 1
+            kp = lb.get("keypoints")
+            if kp is not None and idx < len(kp):
+                k = np.asarray(kp[idx], np.float32).copy()
+                k[..., 0] *= w
+                k[..., 1] *= h
+                ann["keypoints"] = [round(float(v), 3) for v in k.reshape(-1)]
+                ann["num_keypoints"] = int((k[..., 2] > 0).sum()) if k.shape[-1] == 3 else k.shape[0]
+        return gt
+
+    def eval_json(self):
+        """bbox + OKS-keypoints COCO eval (reference pose/val.py:242-263)."""
+        stats = super().eval_json()
+        if any("keypoints" in d for d in self.jdict):
+            from drone_yolo_tpu.utils import LOGGER
+            from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+            gt = self._gt_coco_dict()
+            kp_stats = COCOevalNP(gt, [d for d in self.jdict if "keypoints" in d], iou_type="keypoints").run()
+            LOGGER.info(f"COCO eval (keypoints): AP={kp_stats['AP']:.4f} AP50={kp_stats['AP50']:.4f}")
+            self.coco_stats = {**stats, **{f"{k}(P)": v for k, v in kp_stats.items()}}
+            return self.coco_stats
+        return stats
 
     def get_stats(self):
         tp = np.concatenate(self.stats["tp"]) if self.stats["tp"] else np.zeros((0, len(self.iouv)), bool)

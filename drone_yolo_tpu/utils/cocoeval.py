@@ -79,6 +79,35 @@ def _iou_masks(dts, gts):
     return inter / np.maximum(denom, 1e-12)
 
 
+COCO_KPT_SIGMAS = np.array(
+    [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072, 0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089]
+)
+
+
+def _oks_matrix(dts, gts, sigmas=None):
+    """OKS matrix (D, G) — pycocotools cocoeval.computeOks semantics: per-gt
+    normalization by area, visible-keypoint mean, exp(-d^2 / (2 area k^2))."""
+    if len(dts) == 0 or len(gts) == 0:
+        return np.zeros((len(dts), len(gts)))
+    gk = np.array([g["keypoints"] for g in gts], float).reshape(len(gts), -1, 3)
+    dk = np.array([d["keypoints"] for d in dts], float).reshape(len(dts), -1, 3)
+    nk = gk.shape[1]
+    if sigmas is None:
+        sigmas = COCO_KPT_SIGMAS if nk == 17 else np.ones(nk) / nk
+    var = (np.asarray(sigmas) * 2.0) ** 2
+    out = np.zeros((len(dts), len(gts)))
+    for gi, g in enumerate(gts):
+        vis = gk[gi, :, 2] > 0
+        area = max(float(g.get("area", 1.0)), 1e-9)
+        if not vis.any():
+            continue
+        dx = dk[:, :, 0] - gk[gi, None, :, 0]
+        dy = dk[:, :, 1] - gk[gi, None, :, 1]
+        e = (dx**2 + dy**2) / var[None, :] / (area + np.spacing(1)) / 2.0
+        out[:, gi] = np.exp(-e[:, vis]).mean(axis=1)
+    return out
+
+
 def _iou_xywh(d, g):
     """IoU matrix between det (D,4) and gt (G,4) boxes in xywh."""
     if len(d) == 0 or len(g) == 0:
@@ -113,7 +142,12 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_type: str = "bbox"):
 
     dbox = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
     gbox = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
-    ious = _iou_masks(dts, gts) if iou_type == "segm" else _iou_xywh(dbox, gbox)
+    if iou_type == "segm":
+        ious = _iou_masks(dts, gts)
+    elif iou_type == "keypoints":
+        ious = _oks_matrix(dts, gts)
+    else:
+        ious = _iou_xywh(dbox, gbox)
 
     D, G = len(dts), len(gts)
     dt_m = -np.ones((T, D), int)  # index of matched gt, -1 = unmatched

@@ -159,9 +159,10 @@ def make_pose_dataset(root, n_val=100, nc=2, seed=0, size=256, nkpt=4, n_train=1
                 x1 = int(rng.integers(0, size - w))
                 y1 = int(rng.integers(0, size - h))
                 img[y1 : y1 + h, x1 : x1 + w] = PALETTE[cls % len(PALETTE)]
-                inset = 0.2
-                kx = np.array([x1 + inset * w, x1 + (1 - inset) * w, x1 + inset * w, x1 + (1 - inset) * w])
-                ky = np.array([y1 + inset * h, y1 + inset * h, y1 + (1 - inset) * h, y1 + (1 - inset) * h])
+                # nkpt points on an inset ellipse inside the box (any nkpt)
+                angs = np.linspace(0, 2 * np.pi, nkpt, endpoint=False)
+                kx = x1 + w / 2 + 0.3 * w * np.cos(angs)
+                ky = y1 + h / 2 + 0.3 * h * np.sin(angs)
                 for j in range(nkpt):
                     cv2.circle(img, (int(kx[j]), int(ky[j])), 3, (250, 250, 250), -1)
                 row = [cls, (x1 + w / 2) / size, (y1 + h / 2) / size, w / size, h / size]

@@ -154,3 +154,59 @@ def test_seg_validator_save_json(tmp_path):
     if v.jdict:
         assert any("segmentation" in d for d in v.jdict)
         assert "AP(M)" in v.coco_stats
+
+
+def test_keypoints_oks_protocol():
+    """Perfect keypoints -> AP 1; offset keypoints graded by OKS."""
+    import numpy as np
+
+    from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+    kp = [10.0, 10.0, 2, 30.0, 10.0, 2, 10.0, 30.0, 2, 30.0, 30.0, 2]
+    gt = {
+        "images": [{"id": 0, "height": 64, "width": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 0, "bbox": [5, 5, 30, 30],
+             "area": 900.0, "iscrowd": 0, "keypoints": kp, "num_keypoints": 4},
+        ],
+        "categories": [{"id": 0, "name": "a"}],
+    }
+    dt_perfect = [{"image_id": 0, "category_id": 0, "bbox": [5, 5, 30, 30], "score": 0.9, "keypoints": kp}]
+    assert COCOevalNP(gt, dt_perfect, iou_type="keypoints").run()["AP"] == 1.0
+    # shift all kpts by 8px: OKS drops below high thresholds but not 0.5
+    kp_off = [v + (8 if i % 3 == 0 else 0) for i, v in enumerate(kp)]
+    dt_off = [{**dt_perfect[0], "keypoints": kp_off}]
+    s = COCOevalNP(gt, dt_off, iou_type="keypoints").run()
+    assert s["AP50"] == 1.0 and s["AP"] < 1.0
+
+
+def test_pose_validator_save_json(tmp_path):
+    """Pose save_json path: keypoint records written, bbox+kpt eval runs."""
+    from make_dataset import make_pose_dataset
+
+    from drone_yolo_tpu.models.yolo.pose import PoseValidator
+
+    import jax
+
+    from drone_yolo_tpu.nn.model import PoseModel
+
+    yaml_path = make_pose_dataset(tmp_path / "d", n_val=4, nc=2, seed=3, size=96, nkpt=4)
+    model = PoseModel("yolov8n-pose.yaml", nc=2, data_kpt_shape=(4, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgsz=96)
+
+    class _Facade:
+        pass
+
+    f = _Facade()
+    f.model = model
+    f.variables = variables
+    f.ensure_variables = lambda imgsz=96, seed=0: variables
+    v = PoseValidator(
+        args=dict(data=str(yaml_path), imgsz=96, batch=2, save_json=True, conf=0.001, workers=0,
+                  mode="val", task="pose", verbose=False, plots=False,
+                  project=str(tmp_path), name="posecocoval")
+    )
+    v(model=f, variables=model.fuse(variables))
+    if v.jdict:
+        assert all("keypoints" in d for d in v.jdict)
+        assert "AP(P)" in v.coco_stats
