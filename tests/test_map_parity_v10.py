@@ -1,0 +1,141 @@
+"""Cross-framework YOLOv10 (NMS-free end-to-end) val parity.
+
+The v10 path is a distinct protocol branch: the one2one head postprocesses
+in-graph (top max_det anchors -> flat (anchor, class) top-k, reference
+nn/modules/head.py:151) and the validator skips NMS entirely, conf-gating the
+sorted (B, max_det, 6) output (reference utils/ops.py:240). This test pins it
+against the reference with converted weights on the same images.
+"""
+
+import numpy as np
+import pytest
+
+from make_dataset import make_dataset_mixed
+from refshim import load_reference
+
+from drone_yolo_tpu.nn.model import DetectionModel
+from drone_yolo_tpu.utils.torch_convert import convert_state_dict
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="torch reference unavailable")
+
+IMGSZ = 256
+NC = 4
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("map_parity_v10")
+    return make_dataset_mixed(root, n_val=60, nc=NC, seed=37, base=IMGSZ)
+
+
+@pytest.fixture(scope="module")
+def converted_pair():
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as RefDet
+
+    torch.manual_seed(0)
+    ref_m = RefDet("yolov10n.yaml", nc=NC, verbose=False)
+    ref_m.eval()
+    with torch.no_grad():
+        for name, p in ref_m.named_parameters():
+            if ".cv3." in name and name.endswith("weight") and p.ndim == 4:
+                p.mul_(40.0)
+            if ".cv2." in name and name.endswith("weight") and p.ndim == 4:
+                p.mul_(4.0)
+    ours = DetectionModel("yolov10n.yaml", nc=NC)
+    variables = convert_state_dict(ours, dict(ref_m.state_dict()))
+    return ref_m, ours, variables
+
+
+def _run_reference(ref_m, data_yaml):
+    import torch
+
+    from ultralytics.models.yolo.detect import DetectionValidator as RefVal
+
+    v = RefVal(
+        args=dict(
+            model="yolov10n.yaml",
+            data=str(data_yaml),
+            imgsz=IMGSZ,
+            batch=4,
+            rect=False,
+            device="cpu",
+            half=False,
+            plots=False,
+            save_json=False,
+            verbose=False,
+            workers=0,
+            mode="val",
+            task="detect",
+        )
+    )
+    v(model=ref_m)
+    stats = {k: torch.cat(x, 0).cpu().numpy() for k, x in v.stats.items() if x}
+    return {
+        "map50": v.metrics.box.map50,
+        "map": v.metrics.box.map,
+        "conf": np.sort(stats["conf"])[::-1],
+        "tp_sums": stats["tp"].sum(0),
+        "n_preds": len(stats["conf"]),
+    }
+
+
+class _Facade:
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+    def ensure_variables(self, imgsz=640, seed=0):
+        return self.variables
+
+
+def _run_ours(ours, variables, data_yaml):
+    from drone_yolo_tpu.engine.validator import DetectionValidator
+
+    v = DetectionValidator(
+        args=dict(
+            data=str(data_yaml),
+            imgsz=IMGSZ,
+            batch=4,
+            rect=False,
+            conf=0.001,
+            iou=0.7,
+            max_det=300,
+            pre_nms_topk=8192,
+            workers=0,
+            mode="val",
+            task="detect",
+            verbose=False,
+            plots=False,
+            save_json=False,
+            half=False,
+        )
+    )
+    stats = v(model=_Facade(ours, variables))
+    conf = np.concatenate(v.stats["conf"]) if v.stats["conf"] else np.zeros(0)
+    tp = np.concatenate(v.stats["tp"]) if v.stats["tp"] else np.zeros((0, 10), bool)
+    return {
+        "map50": stats["metrics/mAP50(B)"],
+        "map": stats["metrics/mAP50-95(B)"],
+        "conf": np.sort(conf)[::-1],
+        "tp_sums": tp.sum(0),
+        "n_preds": len(conf),
+    }
+
+
+def test_v10_map_parity(dataset, converted_pair):
+    ref_m, ours, variables = converted_pair
+    r = _run_reference(ref_m, dataset)
+    o = _run_ours(ours, variables, dataset)
+    print(
+        f"[v10] ref mAP50={r['map50']:.5f} n={r['n_preds']} | ours mAP50={o['map50']:.5f} n={o['n_preds']}"
+    )
+    assert abs(r["map50"] - o["map50"]) <= 0.005
+    assert abs(r["map"] - o["map"]) <= 0.005
+    assert abs(r["n_preds"] - o["n_preds"]) <= max(2, 0.002 * r["n_preds"])
+    n = min(r["n_preds"], o["n_preds"])
+    np.testing.assert_allclose(r["conf"][:n], o["conf"][:n], atol=2e-3)
+    denom = max(1, int(r["tp_sums"][0]))
+    assert np.abs(r["tp_sums"] - o["tp_sums"]).max() <= max(2, 0.005 * denom)
