@@ -1,0 +1,153 @@
+"""Cross-framework ByteTrack parity: feed IDENTICAL detection streams to the
+reference BYTETracker and ours; the track partitions must agree.
+
+Covers two-stage association (high/low conf), Kalman prediction, track
+activation/rebirth, and lost-track handling (reference trackers/byte_tracker.py
+:235-392). IDs are compared up to relabeling (assignment order is an
+implementation detail); the grouping of (frame, det_idx) into tracks and the
+per-frame tracked det sets must match exactly.
+"""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from refshim import load_reference
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="torch reference unavailable")
+
+
+def _install_lap_stub():
+    """The reference's matching.py wants the `lap` package (absent, zero
+    egress). Provide a scipy-backed `lapjv` with extend_cost/cost_limit
+    semantics: pad to (n+m) square with the opt-out cost so any row/col may
+    stay unmatched at cost_limit."""
+    import sys
+    import types
+
+    if "lap" in sys.modules:
+        return
+
+    from scipy.optimize import linear_sum_assignment
+
+    def lapjv(cost, extend_cost=False, cost_limit=None, return_cost=True):
+        cost = np.asarray(cost, float)
+        n, m = cost.shape
+        L = cost_limit if cost_limit is not None else 1e9
+        big = np.full((n + m, n + m), L, float)
+        big[:n, :m] = cost
+        big[n:, m:] = 0.0
+        rows, cols = linear_sum_assignment(big)
+        x = -np.ones(n, int)
+        y = -np.ones(m, int)
+        for r, c in zip(rows, cols):
+            if r < n and c < m and cost[r, c] < L:
+                x[r] = c
+                y[c] = r
+        total = float(cost[x >= 0, x[x >= 0]].sum()) if (x >= 0).any() else 0.0
+        return (total, x, y) if return_cost else (x, y)
+
+    mod = types.ModuleType("lap")
+    mod.lapjv = lapjv
+    sys.modules["lap"] = mod
+
+
+_install_lap_stub()
+
+
+def _make_stream(n_frames=40, seed=0):
+    """3 crossing objects + flickering confidence + a mid-stream newcomer."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for t in range(n_frames):
+        dets = []
+        # object A: left -> right, high conf
+        dets.append([50 + 8 * t, 100, 40, 30, 0.9 + 0.05 * np.sin(t), 0])
+        # object B: top -> bottom, conf dips below high_thresh periodically
+        conf_b = 0.85 if t % 7 else 0.3
+        dets.append([300, 40 + 7 * t, 36, 36, conf_b, 1])
+        # object C: appears at t=12
+        if t >= 12:
+            dets.append([500 - 6 * t, 320, 44, 28, 0.75, 0])
+        # noise detection with low conf (should mostly be ignored/second stage)
+        if t % 5 == 0:
+            dets.append([rng.uniform(0, 600), rng.uniform(0, 400), 20, 20, 0.15, 2])
+        arr = np.asarray(dets, np.float32)
+        arr[:, :2] += rng.normal(0, 0.8, (len(arr), 2))  # jitter centers
+        frames.append(arr)
+    return frames
+
+
+def _run_reference(frames):
+    from ultralytics.trackers.byte_tracker import BYTETracker
+
+    args = SimpleNamespace(
+        track_high_thresh=0.5,
+        track_low_thresh=0.1,
+        new_track_thresh=0.6,
+        track_buffer=30,
+        match_thresh=0.8,
+        fuse_score=True,
+    )
+    tr = BYTETracker(args, frame_rate=30)
+    out = []
+    for arr in frames:
+        cx, cy, w, h = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+        res = SimpleNamespace(
+            conf=arr[:, 4],
+            xywh=np.stack([cx, cy, w, h], 1),
+            cls=arr[:, 5],
+        )
+        tracks = tr.update(res)
+        out.append(np.asarray(tracks).reshape(-1, 8))
+    return out
+
+
+def _run_ours(frames):
+    from drone_yolo_tpu.trackers.byte_tracker import BYTETracker
+
+    tr = BYTETracker(
+        SimpleNamespace(
+            track_high_thresh=0.5,
+            track_low_thresh=0.1,
+            new_track_thresh=0.6,
+            track_buffer=30,
+            match_thresh=0.8,
+            fuse_score=True,
+        ),
+        frame_rate=30,
+    )
+    out = []
+    for arr in frames:
+        cx, cy, w, h = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+        xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        tracks = tr.update(xyxy, arr[:, 4], arr[:, 5])
+        out.append(np.asarray(tracks).reshape(-1, 8))
+    return out
+
+
+def test_bytetrack_parity():
+    frames = _make_stream()
+    r, o = _run_reference(frames), _run_ours(frames)
+    # per-frame: same set of tracked detection indices
+    for t, (rt, ot) in enumerate(zip(r, o)):
+        assert set(rt[:, 7].astype(int)) == set(ot[:, 7].astype(int)), f"frame {t}"
+    # track partitions agree up to ID relabeling: the mapping ref_id -> our_id
+    # built from (frame, det_idx) co-occurrence must be a bijection
+    pairs = {}
+    for rt, ot in zip(r, o):
+        ours_by_idx = {int(row[7]): int(row[4]) for row in ot}
+        for row in rt:
+            rid, idx = int(row[4]), int(row[7])
+            oid = ours_by_idx[idx]
+            pairs.setdefault(rid, set()).add(oid)
+    assert all(len(v) == 1 for v in pairs.values()), f"split tracks: {pairs}"
+    mapped = [next(iter(v)) for v in pairs.values()]
+    assert len(mapped) == len(set(mapped)), f"merged tracks: {pairs}"
+    # boxes of tracked objects agree (same Kalman math)
+    for rt, ot in zip(r, o):
+        rs = rt[np.argsort(rt[:, 7])]
+        os_ = ot[np.argsort(ot[:, 7])]
+        np.testing.assert_allclose(rs[:, :4], os_[:, :4], atol=1e-3)
