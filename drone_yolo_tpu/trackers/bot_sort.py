@@ -109,7 +109,8 @@ class BOTSORT(BYTETracker):
 
     def get_dists(self, tracks, detections):
         dists = matching.iou_distance(tracks, detections)
-        dists_mask = dists > (1 - self.proximity_thresh)
+        # reference bot_sort.py:214 masks iou-DISTANCE (1 - IoU) directly
+        dists_mask = dists > self.proximity_thresh
         if self.args.fuse_score:
             dists = matching.fuse_score(dists, detections)
         if self.with_reid and self.encoder is not None and len(tracks) and len(detections):

@@ -151,3 +151,51 @@ def test_bytetrack_parity():
         rs = rt[np.argsort(rt[:, 7])]
         os_ = ot[np.argsort(ot[:, 7])]
         np.testing.assert_allclose(rs[:, :4], os_[:, :4], atol=1e-3)
+
+
+def test_botsort_parity():
+    """BOT-SORT (gmc off, no ReID): same stream -> same track partition.
+    Exercises the BoT-SORT-specific pieces ByteTrack lacks: proximity-thresh
+    distance masking and the xywh Kalman state (reference bot_sort.py:150-250).
+    """
+    from ultralytics.trackers.bot_sort import BOTSORT as RefBOT
+
+    from drone_yolo_tpu.trackers.bot_sort import BOTSORT
+
+    frames = _make_stream(seed=3)
+    args = dict(
+        track_high_thresh=0.5,
+        track_low_thresh=0.1,
+        new_track_thresh=0.6,
+        track_buffer=30,
+        match_thresh=0.8,
+        fuse_score=True,
+        proximity_thresh=0.5,
+        appearance_thresh=0.25,
+        gmc_method="none",
+        with_reid=False,
+        model="auto",
+    )
+    rt_ = RefBOT(SimpleNamespace(**args), frame_rate=30)
+    ot_ = BOTSORT(SimpleNamespace(**args), frame_rate=30)
+    r, o = [], []
+    for arr in frames:
+        cx, cy, w, h = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+        res = SimpleNamespace(conf=arr[:, 4], xywh=np.stack([cx, cy, w, h], 1), cls=arr[:, 5])
+        r.append(np.asarray(rt_.update(res)).reshape(-1, 8))
+        xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        o.append(np.asarray(ot_.update(xyxy, arr[:, 4], arr[:, 5])).reshape(-1, 8))
+    for t, (rt2, ot2) in enumerate(zip(r, o)):
+        assert set(rt2[:, 7].astype(int)) == set(ot2[:, 7].astype(int)), f"frame {t}"
+    pairs = {}
+    for rt2, ot2 in zip(r, o):
+        ours_by_idx = {int(row[7]): int(row[4]) for row in ot2}
+        for row in rt2:
+            pairs.setdefault(int(row[4]), set()).add(ours_by_idx[int(row[7])])
+    assert all(len(v) == 1 for v in pairs.values())
+    mapped = [next(iter(v)) for v in pairs.values()]
+    assert len(mapped) == len(set(mapped))
+    for rt2, ot2 in zip(r, o):
+        rs = rt2[np.argsort(rt2[:, 7])]
+        os_ = ot2[np.argsort(ot2[:, 7])]
+        np.testing.assert_allclose(rs[:, :4], os_[:, :4], atol=1e-3)
