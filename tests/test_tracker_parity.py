@@ -199,3 +199,35 @@ def test_botsort_parity():
         rs = rt2[np.argsort(rt2[:, 7])]
         os_ = ot2[np.argsort(ot2[:, 7])]
         np.testing.assert_allclose(rs[:, :4], os_[:, :4], atol=1e-3)
+
+
+def test_gmc_shift_estimation_parity():
+    """GMC sparse-optical-flow: both frameworks recover a known camera shift on
+    identical synthetic frames (reference trackers/utils/gmc.py)."""
+    import cv2
+
+    from ultralytics.trackers.utils.gmc import GMC as RefGMC
+
+    from drone_yolo_tpu.trackers.gmc import GMC
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((240, 320)) * 255).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (0, 0), 2.0)  # trackable texture
+    frames = []
+    for t in range(4):
+        dx, dy = 3 * t, 2 * t  # constant camera motion
+        M = np.float32([[1, 0, -dx], [0, 1, -dy]])
+        f = cv2.warpAffine(base, M, (320, 240))
+        frames.append(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+
+    r_g, o_g = RefGMC(method="sparseOptFlow"), GMC(method="sparseOptFlow")
+    for i, f in enumerate(frames):
+        wr = np.asarray(r_g.apply(f.copy()))
+        wo = np.asarray(o_g.apply(f.copy()))
+        if i == 0:
+            continue
+        # per-frame shift is (-3, -2); both must estimate it (tolerance for
+        # flow noise) and agree with each other
+        np.testing.assert_allclose(wr[:, 2], [-3.0, -2.0], atol=0.5)
+        np.testing.assert_allclose(wo[:, 2], [-3.0, -2.0], atol=0.5)
+        np.testing.assert_allclose(wo[:, 2], wr[:, 2], atol=0.3)
