@@ -84,6 +84,46 @@ class YOLO:
         return self.model.stride
 
     # -- modes ---------------------------------------------------------------
+    # -- callback registry (reference model.py:980-1004) ----------------------
+    def add_callback(self, event: str, func) -> None:
+        """Register a user callback, forwarded to every trainer/validator/
+        predictor this facade creates (reference model.py add_callback)."""
+        self._user_callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str) -> None:
+        self._user_callbacks[event] = []
+
+    def reset_callbacks(self) -> None:
+        self._user_callbacks = {}
+
+    @property
+    def _user_callbacks(self):
+        if not hasattr(self, "_user_cb_store"):
+            self._user_cb_store = {}
+        return self._user_cb_store
+
+    @_user_callbacks.setter
+    def _user_callbacks(self, v):
+        self._user_cb_store = v
+
+    def _forward_callbacks(self, component) -> None:
+        for event, fns in self._user_callbacks.items():
+            for fn in fns:
+                component.add_callback(event, fn)
+
+    def reset_weights(self):
+        """Drop loaded weights and re-initialize randomly (reference
+        model.py reset_weights). Returns self."""
+        self.variables = None
+        self.ckpt = None
+        return self
+
+    @property
+    def device(self):
+        import jax
+
+        return jax.devices()[0]
+
     def predict(self, source=None, stream: bool = False, **kwargs):
         from drone_yolo_tpu.models.yolo import TASK_MAP
 
@@ -93,6 +133,7 @@ class YOLO:
         if self.predictor is None or self.predictor.__class__ is not pred_cls:
             self.predictor = pred_cls(overrides=args)
             self.predictor.setup_model(self)
+            self._forward_callbacks(self.predictor)
             for event, fn in getattr(self, "_pending_tracker_callbacks", []):
                 self.predictor.add_callback(event, fn)
         else:
@@ -121,6 +162,7 @@ class YOLO:
             args["data"] = data
         validator_cls = TASK_MAP[self.task]["validator"]
         validator = validator_cls(args=args)
+        self._forward_callbacks(validator)
         validator(model=self)
         self.metrics = validator.metrics
         return validator.metrics
@@ -133,6 +175,7 @@ class YOLO:
             raise AttributeError("dataset required: pass data=...")
         trainer_cls = trainer or TASK_MAP[self.task]["trainer"]
         self.trainer = trainer_cls(overrides=overrides)
+        self._forward_callbacks(self.trainer)
         self.trainer.model_facade = self
         self.trainer.train()
         # adopt best/last weights after training

@@ -281,3 +281,26 @@ def test_solution_annotator_primitives():
     assert out.shape == im.shape and out.sum() > 0
     # angle helper matches plain geometry
     assert abs(Annotator.estimate_pose_angle((0, 0), (0, 1), (1, 1)) - 90.0) < 1e-6
+
+
+def test_facade_callbacks_device_reset(tmp_path):
+    """YOLO.add_callback forwards to trainer/validator; reset_weights re-inits
+    (reference engine/model.py:980-1004, reset_weights)."""
+    from make_dataset import make_dataset
+
+    from drone_yolo_tpu import YOLO
+
+    yaml_path = make_dataset(tmp_path / "d", n_train=4, n_val=2, size=96, nc=2, seed=6)
+    m = YOLO("yolov8n.yaml")
+    events = []
+    m.add_callback("on_train_start", lambda t: events.append("train_start"))
+    m.add_callback("on_val_start", lambda v: events.append("val_start"))
+    m.train(data=str(yaml_path), epochs=1, imgsz=64, batch=2, workers=0,
+            project=str(tmp_path), name="cb", plots=False, verbose=False, val=False)
+    m.val(data=str(yaml_path), imgsz=64, batch=2, verbose=False)
+    assert events == ["train_start", "val_start"]
+    assert m.device is not None
+    m.clear_callback("on_val_start")
+    assert m._user_callbacks["on_val_start"] == []
+    m.reset_weights()
+    assert m.variables is None and m.ensure_variables() is not None
