@@ -32,7 +32,7 @@ from drone_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
 from drone_yolo_tpu.data.utils import check_cls_dataset, check_det_dataset
 from drone_yolo_tpu.engine.checkpoint import save_checkpoint
 from drone_yolo_tpu.nn import modules as M
-from drone_yolo_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from drone_yolo_tpu.parallel.mesh import make_mesh, place_state, replicate, shard_batch
 from drone_yolo_tpu.utils import LOGGER, TQDM, colorstr, yaml_save
 from drone_yolo_tpu.utils.callbacks import CallbackMixin, add_integration_callbacks, get_default_callbacks
 from drone_yolo_tpu.utils.ema import EarlyStopping, ema_update
@@ -159,8 +159,14 @@ class BaseTrainer(CallbackMixin):
             old = self.batch_size
             self.batch_size = max(n_dev, self.batch_size // n_dev * n_dev)
             LOGGER.warning(f"batch {old} not divisible by {n_dev} devices; using {self.batch_size}")
-        self.mesh = make_mesh(devices=devices)
-        LOGGER.info(f"Training on {n_dev} device(s), global batch {self.batch_size}")
+        tp = max(int(getattr(self.args, "tp", 1) or 1), 1)
+        if tp > 1:
+            # hybrid DP x TP: wide conv kernels shard over "model" (place_state)
+            assert n_dev % tp == 0, f"tp={tp} must divide device count {n_dev}"
+            self.mesh = make_mesh(shape=(n_dev // tp, tp), axes=("data", "model"), devices=devices)
+        else:
+            self.mesh = make_mesh(devices=devices)
+        LOGGER.info(f"Training on {n_dev} device(s) (mesh {dict(self.mesh.shape)}), global batch {self.batch_size}")
 
         # data
         train_path, val_path = self.data.get("train"), self.data.get("val")
@@ -208,8 +214,7 @@ class BaseTrainer(CallbackMixin):
             "count": jnp.zeros((), jnp.int32),
             "step": jnp.zeros((), jnp.int32),  # optimizer steps (EMA ramp counter)
         }
-        rep = replicate(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        self.state = place_state(self.state, self.mesh)
         self._build_train_step()
         self.resume_training()
         self.run_callbacks("on_pretrain_routine_end")
@@ -433,8 +438,7 @@ class BaseTrainer(CallbackMixin):
             return
         data = np.load(path, allow_pickle=False)
         tree = unflatten_tree({k: data[k] for k in data.files})
-        rep = replicate(self.mesh)
-        self.state = jax.device_put(
+        self.state = place_state(
             {
                 "params": tree["params"],
                 "opt": tree["opt"],
@@ -443,7 +447,7 @@ class BaseTrainer(CallbackMixin):
                 "count": jnp.zeros((), jnp.int32),
                 "step": jnp.asarray(tree["step"]),
             },
-            rep,
+            self.mesh,
         )
         self.start_epoch = int(tree["epoch"]) + 1
         LOGGER.info(f"Resuming training from epoch {self.start_epoch}")

@@ -46,6 +46,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_state(state, mesh: Mesh):
+    """Place a train-state pytree on the mesh.
+
+    1-D ("data") mesh: fully replicated (pure DP). With a "model" axis, wide
+    conv kernels (HWIO) and matching channel vectors are sharded over it —
+    tensor parallelism by annotation only; XLA GSPMD inserts the collectives.
+    """
+    if "model" not in mesh.axis_names:
+        return jax.device_put(state, replicate(mesh))
+    tp = mesh.shape["model"]
+    rep = replicate(mesh)
+
+    def place(x):
+        if getattr(x, "ndim", 0) == 4 and x.shape[-1] % tp == 0 and x.shape[-1] >= 64:
+            return jax.device_put(x, NamedSharding(mesh, P(None, None, None, "model")))
+        if getattr(x, "ndim", 0) == 1 and x.shape[0] % tp == 0 and x.shape[0] >= 64:
+            return jax.device_put(x, NamedSharding(mesh, P("model")))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, state)
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Device-put a host batch dict with the leading dim sharded over `axis`.
 
