@@ -376,3 +376,85 @@ def get_settings() -> SettingsManager:
 DEFAULT_CFG_DICT = {k: (None if isinstance(v, str) and v.lower() == "none" else v) for k, v in yaml_load(DEFAULT_CFG_PATH).items()}
 DEFAULT_CFG_KEYS = DEFAULT_CFG_DICT.keys()
 DEFAULT_CFG = IterableSimpleNamespace(**DEFAULT_CFG_DICT)
+
+
+# -- environment detection (reference utils/__init__.py:550-763) --------------
+def is_colab() -> bool:
+    """Running inside Google Colab."""
+    return "COLAB_RELEASE_TAG" in os.environ or "COLAB_BACKEND_VERSION" in os.environ
+
+
+def is_kaggle() -> bool:
+    """Running inside a Kaggle kernel."""
+    return os.environ.get("PWD") == "/kaggle/working" and os.environ.get("KAGGLE_URL_BASE") == "https://www.kaggle.com"
+
+
+def is_jupyter() -> bool:
+    """Running inside a Jupyter/IPython kernel."""
+    try:
+        from IPython import get_ipython  # noqa: PLC0415
+
+        return get_ipython() is not None
+    except ImportError:
+        return False
+
+
+def is_docker() -> bool:
+    """Running inside a Docker container."""
+    try:
+        with open("/proc/self/cgroup") as f:
+            return "docker" in f.read()
+    except OSError:
+        return False
+
+
+def is_github_action_running() -> bool:
+    return "GITHUB_ACTIONS" in os.environ and "GITHUB_WORKFLOW" in os.environ and "RUNNER_OS" in os.environ
+
+
+def is_dir_writeable(dir_path) -> bool:
+    """Directory exists and is writeable."""
+    return os.access(str(dir_path), os.W_OK)
+
+
+def is_online() -> bool:
+    """Cheap connectivity probe (1.1.1.1:443, 1s timeout); False offline."""
+    import socket
+
+    try:
+        socket.create_connection(("1.1.1.1", 443), timeout=1.0).close()
+        return True
+    except OSError:
+        return False
+
+
+def get_git_dir():
+    """Path to the enclosing .git directory, or None."""
+    for d in [Path(__file__).resolve(), *Path(__file__).resolve().parents]:
+        if (d / ".git").is_dir():
+            return d / ".git"
+    return None
+
+
+def is_git_dir() -> bool:
+    return get_git_dir() is not None
+
+
+def _git(*args: str):
+    import subprocess
+
+    try:
+        out = subprocess.run(["git", *args], capture_output=True, text=True, timeout=5, cwd=Path(__file__).parent)
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def get_git_origin_url():
+    """Remote origin URL of the enclosing repo, or None."""
+    return _git("config", "--get", "remote.origin.url") if is_git_dir() else None
+
+
+def get_git_branch():
+    """Current branch name, or None."""
+    return _git("rev-parse", "--abbrev-ref", "HEAD") if is_git_dir() else None

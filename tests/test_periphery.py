@@ -304,3 +304,25 @@ def test_facade_callbacks_device_reset(tmp_path):
     assert m._user_callbacks["on_val_start"] == []
     m.reset_weights()
     assert m.variables is None and m.ensure_variables() is not None
+
+
+def test_env_detection_helpers():
+    """Env probes return sane values in this container (reference utils/__init__.py:550-763)."""
+    from drone_yolo_tpu.utils import (
+        get_git_branch,
+        get_git_dir,
+        is_colab,
+        is_dir_writeable,
+        is_docker,
+        is_git_dir,
+        is_github_action_running,
+        is_jupyter,
+        is_kaggle,
+    )
+
+    assert is_colab() is False and is_kaggle() is False and is_jupyter() is False
+    assert isinstance(is_docker(), bool) and isinstance(is_github_action_running(), bool)
+    assert is_dir_writeable("/tmp") is True
+    assert is_git_dir() == (get_git_dir() is not None)
+    b = get_git_branch()
+    assert b is None or isinstance(b, str)
