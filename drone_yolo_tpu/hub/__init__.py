@@ -1,10 +1,12 @@
-"""HUB client interface (reference `ultralytics/hub/`, 922 LoC).
+"""HUB client (reference `ultralytics/hub/`, 922 LoC).
 
-The reference talks to the Ultralytics HUB SaaS (auth, training-session
-heartbeats, metric upload, telemetry). This deployment is zero-egress, so the
-client is an interface-compatible no-op that logs instead of POSTing; training
-metric streaming rides the same callback events (`on_fit_epoch_end`,
-`on_model_save`) so a real backend can be dropped in by replacing HUBSession.
+`HUBTrainingSession` (hub/session.py) is a REAL HTTP client — model
+load/create, threaded heartbeats, retrying request queue, metric + checkpoint
+upload — pointed at any HUB-protocol backend via `DYT_HUB_API_ROOT`. With no
+endpoint configured it runs offline (queues locally, uploads no-op), which is
+the correct default in zero-egress deployments. Telemetry (`Events`) stays
+disabled. Metric streaming rides the standard callback events
+(`on_fit_epoch_end`, `on_model_save`).
 """
 
 from __future__ import annotations
@@ -16,7 +18,14 @@ HUB_WEB_ROOT = ""
 
 
 def login(api_key: str | None = None) -> bool:
-    LOGGER.info("hub: zero-egress build, credentials stored locally only")
+    """Store the api key for subsequent sessions (no SaaS round-trip here)."""
+    import os
+
+    if api_key:
+        os.environ["DYT_HUB_API_KEY"] = api_key
+        LOGGER.info("hub: api key stored for this process")
+        return True
+    LOGGER.info("hub: no api key provided")
     return False
 
 
@@ -24,22 +33,9 @@ def logout() -> None:
     LOGGER.info("hub: logged out")
 
 
-class HUBSession:
-    """Training-session shim (reference hub/session.py:19 HUBTrainingSession)."""
+from drone_yolo_tpu.hub.session import HUBTrainingSession  # noqa: E402
 
-    def __init__(self, model_id: str = ""):
-        self.model_id = model_id
-        self.metrics_queue: dict = {}
-        self.alive = True
-
-    def upload_metrics(self, epoch: int, metrics: dict) -> None:
-        self.metrics_queue[epoch] = metrics
-
-    def upload_model(self, epoch: int, weights: str, is_best: bool = False, final: bool = False) -> None:
-        LOGGER.info(f"hub: would upload {'best ' if is_best else ''}{weights} (epoch {epoch}, zero-egress no-op)")
-
-    def heartbeat(self) -> None:
-        pass
+HUBSession = HUBTrainingSession  # back-compat alias
 
 
 class Events:

@@ -326,3 +326,69 @@ def test_env_detection_helpers():
     assert is_git_dir() == (get_git_dir() is not None)
     b = get_git_branch()
     assert b is None or isinstance(b, str)
+
+
+def test_hub_session_against_fake_server(tmp_path):
+    """HUBTrainingSession speaks the HUB protocol end-to-end against an
+    in-process server double (metrics queue, checkpoint upload, heartbeat,
+    model create/load); offline mode (no endpoint) is a safe no-op."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from drone_yolo_tpu.hub.session import HUBTrainingSession
+
+    seen = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            seen.append(("GET", self.path, None))
+            self._reply({"id": self.path.rsplit("/", 1)[1], "status": "trained"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            seen.append(("POST", self.path, body, self.headers.get("x-api-key")))
+            self._reply({"id": "srv-model-1", "ok": True})
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        root = f"http://127.0.0.1:{srv.server_port}"
+        s = HUBTrainingSession("m0", api_key="k123", api_root=root, heartbeat_interval=999)
+        assert s.online
+        assert s.create_model({"name": "exp"}) == "srv-model-1"
+        assert s.load_model()["status"] == "trained"
+        s.upload_metrics(0, {"loss": 1.5})
+        s.upload_metrics(1, {"loss": 1.0})
+        w = tmp_path / "best.npz"
+        w.write_bytes(b"weights-bytes")
+        s.upload_model(1, str(w), is_best=True, final=True)
+        s.heartbeat()
+        s.stop()
+        paths = [p for _, p, *rest in seen]
+        assert "/models" in paths and "/models/srv-model-1" in paths
+        metrics_post = [b for m, p, b, *k in seen if p == "/models/srv-model-1/metrics"][-1]  # last flush has both epochs
+        assert json.loads(metrics_post)["metrics"]["1"] == {"loss": 1.0}
+        upload = next((m, p, b) for m, p, b, *k in seen if p.startswith("/models/srv-model-1/upload"))
+        assert b"weights-bytes" in upload[2] and "is_best=true" in upload[1] and "final=true" in upload[1]
+        assert any(p.startswith("/agent/") for p in paths)
+        assert all(x[3] == "k123" for x in seen if x[0] == "POST")  # api key on every POST
+    finally:
+        srv.shutdown()
+    # offline: everything is a no-op, nothing raises
+    off = HUBTrainingSession("m1")
+    assert not off.online
+    off.upload_metrics(0, {"a": 1})
+    off.upload_model(0, str(tmp_path / "missing.npz"))
+    off.heartbeat()
