@@ -41,6 +41,7 @@ def add_integration_callbacks(instance) -> None:
         comet_callbacks,
         csv_callbacks,
         dvc_callbacks,
+        hub_callbacks,
         mlflow_callbacks,
         neptune_callbacks,
         raytune_callbacks,
@@ -58,6 +59,7 @@ def add_integration_callbacks(instance) -> None:
         dvc_callbacks(),
         neptune_callbacks(),
         raytune_callbacks(),
+        hub_callbacks(),
     )
     for pack in packs:
         if not pack:

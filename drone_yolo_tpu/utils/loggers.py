@@ -260,3 +260,47 @@ def tensorboard_callbacks():
             state["w"].close()
 
     return {"on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def hub_callbacks():
+    """Stream training to a HUB backend when DYT_HUB_API_ROOT is configured
+    (reference hub/__init__.py + utils/callbacks/hub.py: on_fit_epoch_end ->
+    metric queue upload, on_model_save -> checkpoint upload, on_train_end ->
+    final model). No endpoint -> pack disabled."""
+    import os
+
+    if not os.environ.get("DYT_HUB_API_ROOT"):
+        return None
+
+    def on_pretrain_routine_end(trainer):
+        from drone_yolo_tpu.hub.session import HUBTrainingSession
+
+        trainer.hub_session = HUBTrainingSession(identifier=str(getattr(trainer.args, "model", "") or trainer.args.name))
+
+    def on_fit_epoch_end(trainer):
+        s = getattr(trainer, "hub_session", None)
+        if s:
+            metrics = {**getattr(trainer, "label_loss_items_dict", {}), **(trainer.metrics or {})}
+            s.upload_metrics(trainer.epoch, {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))})
+
+    def on_model_save(trainer):
+        s = getattr(trainer, "hub_session", None)
+        if s:
+            last = Path(trainer.wdir) / "last.npz"
+            if last.exists():
+                s.upload_model(trainer.epoch, str(last), is_best=trainer.fitness == getattr(trainer, "best_fitness", None))
+
+    def on_train_end(trainer):
+        s = getattr(trainer, "hub_session", None)
+        if s:
+            best = Path(trainer.wdir) / "best.npz"
+            if best.exists():
+                s.upload_model(trainer.epoch, str(best), is_best=True, final=True, map_=float(getattr(trainer, "best_fitness", 0.0) or 0.0))
+            s.stop()
+
+    return {
+        "on_pretrain_routine_end": on_pretrain_routine_end,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_model_save": on_model_save,
+        "on_train_end": on_train_end,
+    }

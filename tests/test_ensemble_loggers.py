@@ -186,3 +186,44 @@ def test_logger_integrations_fire_under_fakes(tmp_path, monkeypatch):
     finally:
         for name in ("comet_ml", "clearml", "dvclive", "neptune"):
             sys.modules.pop(name, None)
+
+
+def test_hub_training_stream(tmp_path, monkeypatch):
+    """With DYT_HUB_API_ROOT set, training streams metrics + checkpoints to the
+    HUB backend via the standard callback events (reference callbacks/hub.py)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from make_dataset import make_dataset
+
+    from drone_yolo_tpu import YOLO
+
+    hits = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            hits.append(self.path)
+            b = json.dumps({"id": "hub-m", "ok": True}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("DYT_HUB_API_ROOT", f"http://127.0.0.1:{srv.server_port}")
+        yaml_path = make_dataset(tmp_path / "d", n_train=4, n_val=2, size=96, nc=2, seed=8)
+        m = YOLO("yolov8n.yaml")
+        m.train(data=str(yaml_path), epochs=1, imgsz=64, batch=2, workers=0,
+                project=str(tmp_path), name="hubstream", plots=False, verbose=False, val=False)
+        assert any("metrics" in p for p in hits), hits
+        assert any("upload" in p for p in hits), hits
+    finally:
+        srv.shutdown()
