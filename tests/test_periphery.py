@@ -392,3 +392,19 @@ def test_hub_session_against_fake_server(tmp_path):
     off.upload_metrics(0, {"a": 1})
     off.upload_model(0, str(tmp_path / "missing.npz"))
     off.heartbeat()
+
+
+def test_gcp_regions_ranking():
+    """GCPRegions ranks by injected probe latency; tier filters work
+    (reference hub/google/__init__.py, probing logic offline-testable)."""
+    from drone_yolo_tpu.hub.google import GCPRegions
+
+    fake = {"us-central1": 10.0, "europe-west4": 5.0, "asia-east1": 50.0}
+    g = GCPRegions(probe=lambda r: fake.get(r, float("inf")))
+    assert set(g.tier1()) & {"us-central1", "europe-west4"} and "asia-east2" in g.tier2()
+    best = g.lowest_latency(top=2, tier=1, attempts=3)
+    assert best[0][0] == "europe-west4" and best[0][1] == 5.0
+    assert best[1][0] == "us-central1"
+    # unreachable regions sort last with inf latency
+    allr = g.lowest_latency(top=len(g.regions))
+    assert allr[-1][1] == float("inf")
