@@ -52,3 +52,29 @@ def get_latest_run(search_dir: str = ".") -> str:
     """Newest runs/**/last checkpoint for --resume (reference files.py:180)."""
     paths = glob.glob(f"{search_dir}/**/last*.npz", recursive=True)
     return max(paths, key=os.path.getctime) if paths else ""
+
+
+class WorkingDirectory:
+    """Context manager / decorator that chdirs in and restores on exit
+    (reference utils/files.py WorkingDirectory)."""
+
+    def __init__(self, new_dir):
+        self.dir = new_dir
+        self.cwd = Path.cwd().resolve()
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            with self:
+                return func(*args, **kwargs)
+
+        return wrapper
+
+    def __enter__(self):
+        os.chdir(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        os.chdir(self.cwd)
