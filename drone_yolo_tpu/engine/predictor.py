@@ -85,7 +85,9 @@ class BasePredictor(CallbackMixin):
         imgsz = self.args.imgsz if isinstance(self.args.imgsz, int) else max(self.args.imgsz)
         facade.ensure_variables(imgsz=imgsz)
         self.variables = self.model.fuse(facade.variables)
-        self.dtype = jnp.bfloat16 if (self.args.half or self.args.dtype == "bfloat16") else jnp.float32
+        from drone_yolo_tpu.utils.checks import resolve_dtype
+
+        self.dtype = jnp.bfloat16 if self.args.dtype == "bfloat16" else resolve_dtype(self.args.half)
 
     def _forward_fn(self, shape):
         """Fused forward+decode+NMS program for one static input shape."""

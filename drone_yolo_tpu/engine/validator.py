@@ -27,6 +27,12 @@ from drone_yolo_tpu.utils.callbacks import CallbackMixin, get_default_callbacks
 from drone_yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
 
 
+@jax.jit
+def _u8_to_unit(x):
+    """uint8 NHWC -> float32 [0, 1] on device."""
+    return x.astype(jnp.float32) / 255.0
+
+
 class BaseValidator(CallbackMixin):
     """Shared eval loop; task subclasses specialize postprocess/metrics."""
 
@@ -90,18 +96,24 @@ class BaseValidator(CallbackMixin):
             self.run_callbacks("on_val_batch_start")
             compiled = tuple(batch["img"].shape) in self._jit_cache
             t0 = time.perf_counter()
-            img = batch["img"].astype(np.float32) / 255.0
+            if self.backend is None:
+                # ship uint8 and normalize on device: 4x less host->device
+                # traffic than f32 (the validator's dominant cost on
+                # bandwidth-constrained links)
+                x = _u8_to_unit(jnp.asarray(np.ascontiguousarray(batch["img"])))
+            else:
+                x = batch["img"].astype(np.float32) / 255.0
             t1 = time.perf_counter()
-            out, n_valid = self._forward(img.shape)(self.variables, jnp.asarray(img))
+            out, n_valid = self._forward(batch["img"].shape)(self.variables, x)
             n_valid = np.asarray(n_valid)
             t2 = time.perf_counter()
-            self.update_metrics(out, n_valid, batch, img.shape[1:3])
+            self.update_metrics(out, n_valid, batch, batch["img"].shape[1:3])
             t3 = time.perf_counter()
             if compiled:  # exclude compile time from the speed report
                 dt[0] += t1 - t0
                 dt[1] += t2 - t1
                 dt[2] += t3 - t2
-                timed += len(img)
+                timed += len(batch["img"])
             self.run_callbacks("on_val_batch_end")
 
         stats = self.get_stats()
@@ -132,7 +144,7 @@ class BaseValidator(CallbackMixin):
         nc = self.nc
         pre_topk = int(self.args.pre_nms_topk)
         model = self.model
-        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+        from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
         if getattr(self, "backend", None) is not None:
             backend = self.backend

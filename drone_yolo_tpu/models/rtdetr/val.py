@@ -47,7 +47,7 @@ class RTDETRValidator(BaseValidator):
         nc = self.nc
         model = self.model
         imgsz = shape[1]
-        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+        from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
         @jax.jit
         def fn(variables, x):

@@ -117,7 +117,7 @@ class OBBValidator(BaseValidator):
         model = self.model
         nc = self.nc
         pre_topk = int(self.args.pre_nms_topk)
-        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+        from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
         @jax.jit
         def fn(variables, x):

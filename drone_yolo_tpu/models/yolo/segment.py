@@ -88,7 +88,7 @@ class SegmentationValidator(BaseValidator):
         nc = self.nc
         model = self.model
         pre_topk = int(self.args.pre_nms_topk)
-        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+        from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
         @jax.jit
         def fn(variables, x):

@@ -67,11 +67,13 @@ def _greedy_keep(suppress_adj, valid):
 
 
 def _use_pallas(k: int) -> bool:
-    """Pallas kernel only on real TPUs with lane-aligned K."""
+    """Pallas kernel only on real TPUs with lane-aligned K small enough for
+    the (K, K) f32 VMEM scratch (K=1024 -> 4 MB; K=4096 would need 64 MB and
+    VMEM-OOMs — the XLA fixed-point fallback handles large K from HBM)."""
     try:
         import jax as _jax
 
-        return _jax.default_backend() in ("tpu", "axon") and k % 128 == 0
+        return _jax.default_backend() in ("tpu", "axon") and k % 128 == 0 and k <= 1024
     except Exception:  # noqa: BLE001
         return False
 

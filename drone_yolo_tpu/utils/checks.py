@@ -12,6 +12,17 @@ from pathlib import Path
 from drone_yolo_tpu.utils import LOGGER, colorstr
 
 
+def resolve_dtype(half):
+    """bf16/f32 selection: explicit half flag wins; None = auto (bf16 on TPU
+    backends — the deployment numerics — f32 on CPU where parity tests run)."""
+    import jax
+    import jax.numpy as jnp
+
+    if half is None:
+        return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+    return jnp.bfloat16 if half else jnp.float32
+
+
 def check_imgsz(imgsz, stride: int = 32, min_dim: int = 1, max_dim: int = 2, floor: int = 0):
     """Round image size up to a multiple of the max stride (reference checks.py:112)."""
     stride = int(stride)
