@@ -169,8 +169,12 @@ class BasePredictor(CallbackMixin):
             lb, r, pad = letterbox_np(im, self.imgsz)
             processed.append(lb[:, :, ::-1])  # BGR -> RGB
             self.batch_ratio_pad.append((r, pad))
-        x = np.ascontiguousarray(np.stack(processed), dtype=np.float32) / 255.0
-        return x
+        # ship uint8, normalize on device: 4x less host->device traffic
+        x = np.ascontiguousarray(np.stack(processed))
+        key = ("u8n", x.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda raw: raw.astype(jnp.float32) / 255.0)
+        return self._jit_cache[key](jnp.asarray(x))
 
     def postprocess(self, dets, n_valid, x_shape, orig_imgs, paths):
         """Device dets -> host Results with boxes rescaled to original frames."""
