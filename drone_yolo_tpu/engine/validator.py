@@ -89,6 +89,7 @@ class BaseValidator(CallbackMixin):
         self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         self.seen = 0
         dt = [0.0, 0.0, 0.0]
+        dt_all = [0.0, 0.0, 0.0]  # compile-inclusive fallback (tiny runs)
         timed = 0  # images timed AFTER compilation (first batch per shape excluded)
         n_batches = len(self.dataloader)
         bar = TQDM(self.dataloader, total=n_batches, desc="val")
@@ -114,10 +115,16 @@ class BaseValidator(CallbackMixin):
                 dt[1] += t2 - t1
                 dt[2] += t3 - t2
                 timed += len(batch["img"])
+            else:  # keep compile-inclusive totals as the fallback report
+                dt_all[0] += t1 - t0
+                dt_all[1] += t2 - t1
+                dt_all[2] += t3 - t2
             self.run_callbacks("on_val_batch_end")
 
         stats = self.get_stats()
-        denom = max(timed or self.seen, 1)
+        if timed == 0:  # every batch was a first-compile batch: report totals
+            dt, timed = dt_all, self.seen
+        denom = max(timed, 1)
         self.speed = {
             "preprocess": dt[0] / denom * 1e3,
             "inference": dt[1] / denom * 1e3,
