@@ -91,8 +91,72 @@ class DataLoader:
         return idx
 
     def __iter__(self):
+        """Yield collated batches in order, assembled by `workers` threads.
+
+        Replaces the reference's torch worker *processes* (data/build.py:139,
+        num_workers) with a thread pool: cv2 decode/resize/warpAffine release
+        the GIL, so mosaic+affine parallelize across host cores. Each worker
+        owns whole batches (sample locality for the mosaic buffer); a reorder
+        buffer restores epoch order; a semaphore bounds in-flight batches to
+        `workers + prefetch` so memory stays capped.
+        """
         idx = self._indices()
         batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(self.nb)]
+        if self.workers <= 1:
+            yield from self._iter_single(batches)
+            return
+
+        work: queue.Queue = queue.Queue()
+        for bi, binds in enumerate(batches):
+            work.put((bi, binds))
+        done: dict = {}
+        lock = threading.Condition()
+        inflight = threading.Semaphore(self.workers + self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                inflight.acquire()
+                try:
+                    bi, binds = work.get_nowait()
+                except queue.Empty:
+                    inflight.release()
+                    return
+                try:
+                    samples = [self.dataset[int(i)] for i in binds]
+                    out = self.dataset.collate(samples)
+                except BaseException as e:  # noqa: BLE001 - propagate to the consumer
+                    out = e
+                with lock:
+                    done[bi] = out
+                    lock.notify_all()
+                if isinstance(out, BaseException):
+                    return
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(self.nb):
+                with lock:
+                    while bi not in done:
+                        err = next((v for v in done.values() if isinstance(v, BaseException)), None)
+                        if err is not None:
+                            raise err
+                        lock.wait()
+                    batch = done.pop(bi)
+                if isinstance(batch, BaseException):
+                    raise batch
+                inflight.release()
+                yield batch
+        finally:
+            stop.set()
+            # unblock any workers parked on the semaphore
+            for _ in threads:
+                inflight.release()
+
+    def _iter_single(self, batches):
+        """Single producer thread with a bounded prefetch queue (workers<=1)."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -241,6 +241,11 @@ class BaseTrainer(CallbackMixin):
         def step_fn(state, batch, lr_w, lr_b, mom, target_sz):
             step_rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed), state["step"])
             img = batch["img"]
+            if img.dtype == jnp.uint8:
+                # batches ship as uint8 (4x less H2D traffic than fp32, same
+                # win as the validator/predictor); normalize on device
+                img = img.astype(jnp.float32) / 255.0
+                batch = {**batch, "img": img}
             if img.shape[1] != target_sz:
                 b = img.shape[0]
                 scale = target_sz / img.shape[1]
@@ -294,9 +299,9 @@ class BaseTrainer(CallbackMixin):
         self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz",))
 
     def preprocess_batch(self, batch):
-        """uint8 HWC host batch -> sharded device arrays in [0, 1]."""
+        """uint8 HWC host batch -> sharded device arrays (normalize in-graph)."""
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        arrays["img"] = batch["img"].astype(np.float32) / 255.0
+        arrays["img"] = np.ascontiguousarray(batch["img"])  # stays uint8: /255 happens on device
         return shard_batch(arrays, self.mesh)
 
     def _warmup_hyp(self, ni: int, epoch: int):

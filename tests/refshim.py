@@ -80,3 +80,38 @@ def load_reference():
         print(f"reference unavailable: {e}")
         _REF = None
     return _REF
+
+
+def patch_reference_repvgg():
+    """Register RepVGGBlock into the reference's parse_model.
+
+    The reference snapshot exports RepVGGBlock (`nn/modules/__init__.py:62`) but
+    never imports it in `nn/tasks.py`, so `parse_model`'s `globals()[m]` lookup
+    raises KeyError on the drone yamls, and it is absent from `base_modules` so
+    width scaling would not apply (SURVEY.md §2.3 latent defect). The author
+    trained on an earlier snapshot where it was wired. This re-creates that
+    wiring for parity tests only: rebuild parse_model from its own source with
+    RepVGGBlock added to base_modules, in a copied globals dict carrying the
+    class.
+    """
+    import inspect
+
+    ref = load_reference()
+    if ref is None:
+        return None
+    import ultralytics.nn.tasks as T
+    from ultralytics.nn.modules.block import RepVGGBlock
+
+    if getattr(T, "_repvgg_patched", False):
+        return T
+    src = inspect.getsource(T.parse_model)
+    marker = "            Conv,\n"
+    assert marker in src, "reference parse_model source changed; update the shim"
+    src = src.replace(marker, marker + "            RepVGGBlock,\n", 1)
+    ns = dict(vars(T))
+    ns["RepVGGBlock"] = RepVGGBlock
+    exec(src, ns)  # noqa: S102 - dev-time test scaffolding
+    T.parse_model = ns["parse_model"]
+    T.RepVGGBlock = RepVGGBlock
+    T._repvgg_patched = True
+    return T
