@@ -79,9 +79,15 @@ class YOLODataset:
         self.batch = None
         if self.rect:
             self.set_rectangle(rect_max_shapes)
-        # static label padding: longest label list, with headroom for mosaic(x4)+mixup
+        # static label padding: longest label list, with headroom for mosaic(x4)
+        # +mixup only when those augs are actually on — the padded-label dim
+        # multiplies every bs x labels x anchors assigner tensor, so a blanket
+        # 5x on dense datasets (100+ obj/img) would inflate TAL memory/compile 5x
         n_max = max((len(l["cls"]) for l in self.labels), default=1)
-        self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * 5, 1))))), 2048)
+        mosaic_on = augment and hyp is not None and (getattr(hyp, "mosaic", 0) or 0) > 0
+        mixup_on = augment and hyp is not None and (getattr(hyp, "mixup", 0) or 0) > 0
+        headroom = (5 if mixup_on else 4) if mosaic_on else (2 if mixup_on else 1.25)
+        self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * headroom, 1))))), 2048)
         self.transforms = self.build_transforms(hyp)
 
     # -- files & labels -------------------------------------------------------

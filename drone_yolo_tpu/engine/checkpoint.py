@@ -3,9 +3,13 @@
 Capability parity with the reference's torch .pt checkpoints (trainer.py:514-547:
 {epoch, best_fitness, ema, updates, optimizer, train_args, ...}) — but as flat
 npz arrays + a JSON header instead of pickles: portable, mmap-able, and free of
-arbitrary-code-execution on load. Full train-state (optimizer/EMA) checkpoints
-for resume are handled by the trainer via Orbax; this module covers the
-weights+metadata artifact used by predict/val/export ("last.npz"/"best.npz").
+arbitrary-code-execution on load. Full train-state checkpoints for resume are
+written by the trainer as `resume_state.npz` (params/optimizer/EMA/step via the
+same flatten_tree helpers below, `engine/trainer.py:save_model`); this module
+covers the weights+metadata artifact used by predict/val/export
+("last.npz"/"best.npz"). Orbax is deliberately NOT a dependency: single-host
+npz keeps artifacts inspectable and the zero-dep load path; a multi-host
+deployment would swap `flatten_tree`->`ocp.StandardCheckpointer` in one place.
 """
 
 from __future__ import annotations

@@ -141,6 +141,9 @@ class BaseTrainer(CallbackMixin):
         self._do_train()
 
     def _setup_train(self):
+        from drone_yolo_tpu.utils import enable_compile_cache
+
+        enable_compile_cache()
         self.run_callbacks("on_pretrain_routine_start")
         self.setup_model()
         self.wdir.mkdir(parents=True, exist_ok=True)

@@ -55,7 +55,9 @@ class BaseValidator(CallbackMixin):
         validator.py:128 AutoBackend branch) — optionally with explicit
         variables, e.g. EMA."""
         from drone_yolo_tpu.nn.autobackend import AutoBackend
+        from drone_yolo_tpu.utils import enable_compile_cache
 
+        enable_compile_cache()
         self.run_callbacks("on_val_start")
         facade = model
         imgsz = int(self.args.imgsz)

@@ -194,11 +194,14 @@ class SegmentationValidator(BaseValidator):
 
             stem = Path(lb["im_file"]).stem
             by_image[int(stem) if stem.isnumeric() else stem] = lb
-        for ann in gt["annotations"]:
+        seen: dict = {}  # running per-image annotation counter (one pass, not
+        # an O(N^2) rescan of all annotations per annotation — ADVICE r2)
+        for ann in sorted(gt["annotations"], key=lambda a: a["id"]):
             lb = by_image[ann["image_id"]]
             h, w = lb["shape"]
             # nth annotation of this image -> nth segment
-            idx = sum(1 for a in gt["annotations"] if a["image_id"] == ann["image_id"] and a["id"] < ann["id"])
+            idx = seen.get(ann["image_id"], 0)
+            seen[ann["image_id"]] = idx + 1
             segs = lb.get("segments") or []
             if idx < len(segs):
                 m = np.zeros((int(h), int(w)), np.uint8)

@@ -458,3 +458,33 @@ def get_git_origin_url():
 def get_git_branch():
     """Current branch name, or None."""
     return _git("rev-parse", "--abbrev-ref", "HEAD") if is_git_dir() else None
+
+
+_COMPILE_CACHE_SET = False
+
+
+def enable_compile_cache(path: str | Path | None = None):
+    """Point JAX at a persistent on-disk compilation cache (idempotent).
+
+    The flagship P2 train step takes minutes to compile over the TPU tunnel;
+    caching makes every later trainer/validator/bench process start warm. The
+    reference has no analog (torch eager); for XLA this is table stakes.
+    Override location with DYT_COMPILE_CACHE; respects an explicitly
+    pre-configured jax_compilation_cache_dir.
+    """
+    global _COMPILE_CACHE_SET
+    if _COMPILE_CACHE_SET:
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        _COMPILE_CACHE_SET = True
+        return
+    cache = Path(os.environ.get("DYT_COMPILE_CACHE") or path or Path.home() / ".cache" / "drone_yolo_tpu" / "jax")
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 - cache is best-effort
+        LOGGER.warning(f"compile cache unavailable: {e}")
+    _COMPILE_CACHE_SET = True

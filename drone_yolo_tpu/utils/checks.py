@@ -14,13 +14,28 @@ from drone_yolo_tpu.utils import LOGGER, colorstr
 
 def resolve_dtype(half):
     """bf16/f32 selection: explicit half flag wins; None = auto (bf16 on TPU
-    backends — the deployment numerics — f32 on CPU where parity tests run)."""
+    backends — the deployment numerics — f32 on CPU where parity tests run).
+
+    The auto default deviates from the reference's half=False val/predict
+    default (cfg/default.yaml:implied False), so the resolution is logged once
+    per process: small metric shifts on TPU are attributable (PARITY.md §half).
+    """
     import jax
     import jax.numpy as jnp
 
     if half is None:
-        return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+        dtype = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+        global _DTYPE_LOGGED
+        if not _DTYPE_LOGGED:
+            from drone_yolo_tpu.utils import LOGGER
+
+            LOGGER.info(f"half=auto resolved to {'bf16' if dtype == jnp.bfloat16 else 'fp32'} on backend '{jax.default_backend()}' (pass half=False to force fp32)")
+            _DTYPE_LOGGED = True
+        return dtype
     return jnp.bfloat16 if half else jnp.float32
+
+
+_DTYPE_LOGGED = False
 
 
 def check_imgsz(imgsz, stride: int = 32, min_dim: int = 1, max_dim: int = 2, floor: int = 0):

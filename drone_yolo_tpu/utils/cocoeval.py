@@ -28,6 +28,14 @@ AREA_RNG = {
     "large": (96.0**2, 1e10),
 }
 MAX_DETS = (1, 10, 100)
+# keypoints protocol: maxDets=[20], areas all/medium/large (pycocotools
+# Params.setKpParams)
+KP_AREA_RNG = {
+    "all": (0.0, 1e10),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+KP_MAX_DETS = (20,)
 
 
 def rle_encode(mask) -> dict:
@@ -127,8 +135,22 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_type: str = "bbox"):
     """Match one (image, category) pair. Returns per-threshold det matches,
     det-ignore flags, det scores, and the number of non-ignored gt."""
     T = len(IOU_THRS)
+
+    def _no_vis_kpts(g):
+        """GT with zero visible keypoints is ignored in the keypoints protocol
+        (pycocotools _prepare: ignore |= num_keypoints == 0)."""
+        if "num_keypoints" in g:
+            return g["num_keypoints"] == 0
+        k = np.asarray(g.get("keypoints", []), float).reshape(-1, 3)
+        return not (k[:, 2] > 0).any()
+
     g_ignore = np.array(
-        [bool(g.get("iscrowd", 0)) or not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts],
+        [
+            bool(g.get("iscrowd", 0))
+            or not (area_rng[0] <= g["area"] <= area_rng[1])
+            or (iou_type == "keypoints" and _no_vis_kpts(g))
+            for g in gts
+        ],
         dtype=bool,
     )
     # sort gt: non-ignored first (COCOeval gtind ordering)
@@ -172,6 +194,13 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_type: str = "bbox"):
             gt_m[ti, m] = di
     if iou_type == "segm":
         d_area = np.array([rle_area(d["segmentation"]) for d in dts]) if D else np.zeros(0)
+    elif iou_type == "keypoints":
+        # pycocotools loadRes: dt area = keypoint-extent bbox area
+        if D:
+            kk = np.array([d["keypoints"] for d in dts], float).reshape(D, -1, 3)
+            d_area = (kk[:, :, 0].max(1) - kk[:, :, 0].min(1)) * (kk[:, :, 1].max(1) - kk[:, :, 1].min(1))
+        else:
+            d_area = np.zeros(0)
     else:
         d_area = dbox[:, 2] * dbox[:, 3] if D else np.zeros(0)
     d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
@@ -207,23 +236,25 @@ class COCOevalNP:
             self._dts[(d["image_id"], d["category_id"])].append(d)
         self.stats = None
         self.eval = None
+        self.area_rng = KP_AREA_RNG if iou_type == "keypoints" else AREA_RNG
+        self.max_dets = KP_MAX_DETS if iou_type == "keypoints" else MAX_DETS
 
     def run(self):
         T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
-        area_items = list(AREA_RNG.items())
+        area_items = list(self.area_rng.items())
         for ki, cat in enumerate(self.cat_ids):
             for ai, (_, arng) in enumerate(area_items):
                 per_img = [
                     _evaluate_img(
-                        self._dts.get((img, cat), []), self._gts.get((img, cat), []), arng, max(MAX_DETS), self.iou_type
+                        self._dts.get((img, cat), []), self._gts.get((img, cat), []), arng, max(self.max_dets), self.iou_type
                     )
                     for img in self.img_ids
                     if (img, cat) in self._dts or (img, cat) in self._gts
                 ]
-                for mi, max_det in enumerate(MAX_DETS):
+                for mi, max_det in enumerate(self.max_dets):
                     matched, ignored, scores, n_gt = [], [], [], 0
                     for dm, dig, sc, ng in per_img:
                         matched.append(dm[:, :max_det])
@@ -261,8 +292,8 @@ class COCOevalNP:
         return self.stats
 
     def _summ(self, ap=True, iou=None, area="all", max_det=100):
-        ai = list(AREA_RNG).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_rng).index(area)
+        mi = self.max_dets.index(max_det)
         if ap:
             s = self.eval["precision"][:, :, :, ai, mi]
             if iou is not None:
@@ -275,6 +306,20 @@ class COCOevalNP:
         return float(np.mean(s)) if s.size else -1.0
 
     def _summarize(self):
+        if self.iou_type == "keypoints":
+            # pycocotools kps summary: maxDets=20, areas all/medium/large
+            return {
+                "AP": self._summ(True, max_det=20),
+                "AP50": self._summ(True, iou=0.5, max_det=20),
+                "AP75": self._summ(True, iou=0.75, max_det=20),
+                "APmedium": self._summ(True, area="medium", max_det=20),
+                "APlarge": self._summ(True, area="large", max_det=20),
+                "AR": self._summ(False, max_det=20),
+                "AR50": self._summ(False, iou=0.5, max_det=20),
+                "AR75": self._summ(False, iou=0.75, max_det=20),
+                "ARmedium": self._summ(False, area="medium", max_det=20),
+                "ARlarge": self._summ(False, area="large", max_det=20),
+            }
         return {
             "AP": self._summ(True),
             "AP50": self._summ(True, iou=0.5),

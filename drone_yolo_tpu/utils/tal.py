@@ -12,7 +12,9 @@ TPU re-design notes (SURVEY.md §7 "hard parts"):
 * The top-k mask is built by thresholding against the k-th largest metric per GT
   instead of scatter-from-indices: a (B, M, A) one-hot scatter would materialize
   B*M*k*A elements; the threshold trick is O(B*M*A) and matches greedy top-k
-  except for exact float ties (measure-zero).
+  exactly (kth_largest counts duplicate values, so ties at the boundary are
+  admitted inclusively — torch.topk picks k of them arbitrarily; everything
+  strictly above the k-th value matches bit-for-bit).
 """
 
 from __future__ import annotations
@@ -26,21 +28,34 @@ from drone_yolo_tpu.ops.boxes import bbox_iou
 
 
 def kth_largest(x, k: int):
-    """k-th largest value along the last axis, keepdims, WITHOUT a full sort.
+    """EXACT k-th largest value along the last axis, keepdims, WITHOUT a sort.
 
     lax.top_k lowers to a variadic sort of the whole (B, M, A) metric tensor on
     TPU (xprof showed the sort plus its S(1) staging copies dominating the train
-    step). k-1 rounds of "mask out the current max" + one final max is pure
-    elementwise/reduce work the VPU streams at HBM speed. Value-ties collapse
-    in one round, which can only *lower* the threshold (admitting the tied
-    anchors) — the same inclusive-tie semantics the `align >= kth` threshold
-    trick already has.
+    step). Up to k-1 rounds of "mask out the current max" + one final max is
+    pure elementwise/reduce work the VPU streams at HBM speed.
+
+    Duplicate values are counted exactly (reference torch.topk semantics): each
+    round counts how many elements tie at the current max; once the cumulative
+    masked count would reach k, that max IS the k-th largest and the row is
+    done. Without this, a tie among top values would collapse in one round and
+    return a value below the true k-th largest, admitting extra non-tied
+    anchors into the candidate set (ADVICE r2).
     """
+    shape = x.shape[:-1] + (1,)
     cur = x
+    done = jnp.zeros(shape, bool)
+    result = jnp.zeros(shape, x.dtype)
+    cnt = jnp.zeros(shape, jnp.int32)
     for _ in range(k - 1):
         m = jnp.max(cur, axis=-1, keepdims=True)
-        cur = jnp.where(cur >= m, -jnp.inf, cur)
-    return jnp.max(cur, axis=-1, keepdims=True)
+        ties = jnp.sum((cur >= m).astype(jnp.int32), axis=-1, keepdims=True)
+        overshoot = (cnt + ties >= k) & ~done
+        result = jnp.where(overshoot, m, result)
+        done = done | overshoot
+        cur = jnp.where(~done & (cur >= m), -jnp.inf, cur)
+        cnt = cnt + jnp.where(done, 0, ties)
+    return jnp.where(done, result, jnp.max(cur, axis=-1, keepdims=True))
 
 
 def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):

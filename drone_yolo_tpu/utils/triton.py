@@ -63,10 +63,14 @@ class TritonRemoteModel:
             url = splits.netloc
         if scheme in ("grpc", "grpcs"):
             raise ValueError("grpc scheme needs the tritonclient package; use http:// (KServe v2 REST)")
+        if scheme not in ("", "http", "https"):
+            raise ValueError(f"unsupported scheme '{scheme}' (use http:// or https://)")
         self.endpoint = endpoint
         self.url = url
         self.timeout = timeout
-        self._base = f"http://{url}/v2/models/{endpoint}"
+        # preserve the caller's scheme: silently downgrading https:// to
+        # cleartext would leak payloads/auth headers (ADVICE r2)
+        self._base = f"{scheme or 'http'}://{url}/v2/models/{endpoint}"
 
         config = self._get_config()
         config["output"] = sorted(config["output"], key=lambda x: x.get("name"))

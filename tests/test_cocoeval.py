@@ -210,3 +210,32 @@ def test_pose_validator_save_json(tmp_path):
     if v.jdict:
         assert all("keypoints" in d for d in v.jdict)
         assert "AP(P)" in v.coco_stats
+
+
+def test_keypoints_protocol_params():
+    """pycocotools keypoints protocol: zero-visible-kpt GTs ignored, maxDets=20,
+    area ranges all/medium/large (no 'small')."""
+    import numpy as np
+
+    from drone_yolo_tpu.utils.cocoeval import COCOevalNP
+
+    kp = [10.0, 10.0, 2, 30.0, 10.0, 2, 10.0, 30.0, 2, 30.0, 30.0, 2]
+    kp_none = [0.0, 0.0, 0] * 4  # annotated person with no visible keypoints
+    gt = {
+        "images": [{"id": 0, "height": 64, "width": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 0, "bbox": [5, 5, 30, 30],
+             "area": 900.0, "iscrowd": 0, "keypoints": kp, "num_keypoints": 4},
+            {"id": 2, "image_id": 0, "category_id": 0, "bbox": [40, 40, 20, 20],
+             "area": 400.0, "iscrowd": 0, "keypoints": kp_none, "num_keypoints": 0},
+        ],
+        "categories": [{"id": 0, "name": "a"}],
+    }
+    dt = [{"image_id": 0, "category_id": 0, "bbox": [5, 5, 30, 30], "score": 0.9, "keypoints": kp}]
+    s = COCOevalNP(gt, dt, iou_type="keypoints").run()
+    # the num_keypoints==0 GT must be ignored, not counted as a miss
+    assert s["AP"] == 1.0 and s["AR"] == 1.0, s
+    # keypoints summary uses kp-specific area ranges and maxDets=[20]
+    assert "APsmall" not in s and "APmedium" in s and "AR" in s and "AR1" not in s
+    ev = COCOevalNP(gt, dt, iou_type="keypoints")
+    assert ev.max_dets == (20,) and set(ev.area_rng) == {"all", "medium", "large"}
