@@ -94,6 +94,11 @@ REGISTRY = {
     "RTDETRDecoder": None,
     "nn.Upsample": M.Upsample,
     "Upsample": M.Upsample,
+    "nn.MaxPool2d": M.MaxPool2d,
+    "MaxPool2d": M.MaxPool2d,
+    "nn.ZeroPad2d": M.ZeroPad2d,
+    "ZeroPad2d": M.ZeroPad2d,
+    "TorchVision": M.TorchVision,
     "Detect": M.Detect,
     "Segment": M.Segment,
     "Pose": M.Pose,
@@ -109,7 +114,7 @@ BASE_MODULES = {
     M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN,
     M.CIB, M.C2fCIB, M.RepC3, M.A2C2f, M.C2fAttn, M.ConvTranspose2dRaw,
     M.Conv2, M.ConvTranspose, M.DWConvTranspose2d, M.GhostBottleneck, M.C3x, M.C3TR,
-    M.C3Ghost, M.BottleneckCSP, M.ResNetLayer, M.C2fPSA,
+    M.C3Ghost, M.BottleneckCSP, M.C2fPSA,
 }
 # Modules whose 3rd ctor arg is the repeat count — reference tasks.py:993-1010.
 REPEAT_MODULES = {
@@ -246,10 +251,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             if cls is M.C2fAttn:  # embed channels + heads scaling (tasks.py:1028-1030)
                 args[3] = make_divisible(min(args[3], max_channels // 2) * width, 8)
                 args[4] = int(max(round(min(args[4], max_channels // 2 // 32) * width), 1) if args[4] > 1 else args[4])
-            if cls is M.ResNetLayer:  # output = e*c2 unless stem (reference tasks.py)
-                # args = [c1, c2, s, is_first, n] after insertion
-                is_first = len(args) > 3 and bool(args[3])
-                c2 = args[1] if is_first else args[1] * 4
+        elif cls is M.ResNetLayer:
+            # args pass through RAW (explicit c1 in the yaml, no width scaling
+            # — reference tasks.py:1052); bottleneck output = 4*c2 unless stem
+            c2 = args[1] if args[3] else args[1] * 4
         elif mname == "AIFI":
             c2 = ch_list[f]
             args = [c2, *args]
@@ -270,6 +275,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             c2 = None
         elif cls is M.Concat:
             c2 = sum(ch_list[x] for x in f)
+        elif cls in (M.TorchVision, M.Index):
+            # reference tasks.py:1072: c2 declared by args[0], then dropped
+            c2 = args[0]
+            args = args[1:]
         elif cls is M.CBLinear:
             c2 = args[0]  # list of channel splits
             args = [ch_list[f], *args]

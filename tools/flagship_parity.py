@@ -143,10 +143,11 @@ def cmd_ref():
         **HYPS,
     )
     train_s = time.time() - t0
+    last_pt = Path(y.trainer.wdir) / "last.pt"
     # standalone final validation on last.pt (EMA) weights, fixed protocol
     from ultralytics import YOLO as RefYOLO
 
-    y = RefYOLO(str(Path(y.trainer.wdir) / "last.pt"))
+    y = RefYOLO(str(last_pt))
     res = y.val(data=str(WORK / "dataset" / "data.yaml"), imgsz=IMGSZ, batch=BATCH, rect=False, conf=0.001, iou=0.7, max_det=300, device="cpu", half=False, plots=False, verbose=False)
     out = {
         "framework": "torch-reference",
@@ -156,7 +157,7 @@ def cmd_ref():
         "recall": float(res.box.mr),
         "train_seconds": round(train_s, 1),
         "epochs": EPOCHS,
-        "weights": str(Path(y.trainer.wdir) / "last.pt"),
+        "weights": str(last_pt),
     }
     (WORK / "ref_result.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
