@@ -9,7 +9,7 @@ artifacts are:
   by any StableHLO consumer (TF, IREE, XLA AOT) and re-importable by us.
 * **npz** — the weights+config checkpoint (our .pt analog, always produced).
 * **savedmodel / tflite** — via jax2tf when tensorflow is importable (gated).
-* **onnx** — via tf2onnx when available (gated; zero-egress images usually lack it).
+* **onnx** — emitted natively as protobuf from the fused graph (export/onnx_export.py).
 
 Each export embeds preprocessing (scale) and optionally NMS (`nms=True`) so the
 artifact is end-to-end like the reference's `Detect.export` paths.
@@ -144,7 +144,23 @@ class Exporter(CallbackMixin):
             }
             path.with_suffix(".stablehlo.json").write_text(json.dumps(meta, indent=2))
             produced.append(str(path))
-        elif fmt in {"savedmodel", "tflite", "onnx"}:
+        elif fmt == "onnx":
+            # direct protobuf emission (reference exporter.py:524 uses
+            # torch.onnx.export; here the fused graph is emitted natively —
+            # export/onnx_export.py) of the raw decoded head (B, 4+nc, A);
+            # NMS stays outside like the reference's default onnx artifact
+            from drone_yolo_tpu.export.onnx_export import export_onnx
+
+            path = export_onnx(model, facade.variables, out_base.with_suffix(".onnx"), imgsz=imgsz, batch=batch)
+            meta = {
+                "input": [batch, 3, imgsz, imgsz],
+                "names": {int(k): v for k, v in model.names.items()},
+                "task": model.task,
+                "stride": int(max(model.stride)) if getattr(model, "stride", None) is not None else 32,
+            }
+            Path(str(path) + ".json").write_text(json.dumps(meta, indent=2))
+            produced.append(str(path))
+        elif fmt in {"savedmodel", "tflite"}:
             try:
                 import tensorflow as tf  # noqa: F401
                 from jax.experimental import jax2tf
@@ -181,11 +197,6 @@ class Exporter(CallbackMixin):
                 p = Path(str(out_base) + suffix)
                 p.write_bytes(tfl)
                 produced.append(str(p))
-            if fmt == "onnx":
-                import tf2onnx  # noqa: F401 - gated
-
-                raise NotImplementedError("onnx export requires tf2onnx; convert the savedmodel artifact")
-
         LOGGER.info(f"{colorstr('green', 'export success')} ({time.time() - t0:.1f}s): {produced}")
         self.run_callbacks("on_export_end")
         return produced[-1]

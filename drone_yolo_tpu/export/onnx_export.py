@@ -1,0 +1,329 @@
+"""ONNX exporter: emit the built model graph directly as ONNX protobuf.
+
+The reference exports ONNX via torch.onnx.export (reference
+engine/exporter.py:524); this image has neither the onnx package nor tf2onnx,
+so the exporter writes the protobuf itself through a vendored minimal
+onnx.proto (field-number-compatible with the public schema) and a per-module
+emitter table that mirrors each module's forward exactly on FUSED weights.
+Artifact contract matches the reference's: input `images` NCHW float32
+(B,3,H,W), output `output0` = (B, 4+nc, A) decoded xywh+scores for detect
+heads, (B, nc) probabilities for classify.
+
+Round-trip verified in tests/test_onnx_export.py against OpenCV's ONNX
+importer (cv2.dnn.readNetFromONNX) — an independent third-party parser.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import onnx_pb2 as O  # noqa: E402  (vendored, generated from export/onnx.proto)
+
+from drone_yolo_tpu.nn import modules as M  # noqa: E402
+
+FLOAT = O.TensorProto.FLOAT
+INT64 = O.TensorProto.INT64
+OPSET = 12
+
+
+class Builder:
+    def __init__(self, graph_name="drone_yolo_tpu"):
+        self.nodes = []
+        self.inits = []
+        self._n = 0
+
+    def name(self, hint="t"):
+        self._n += 1
+        return f"{hint}_{self._n}"
+
+    def const(self, arr, hint="const"):
+        arr = np.asarray(arr)
+        t = O.TensorProto()
+        t.name = self.name(hint)
+        t.dims.extend(arr.shape)
+        if arr.dtype == np.int64:
+            t.data_type = INT64
+        else:
+            arr = arr.astype(np.float32)
+            t.data_type = FLOAT
+        t.raw_data = arr.tobytes()
+        self.inits.append(t)
+        return t.name
+
+    def node(self, op, inputs, n_out=1, hint=None, **attrs):
+        nd = O.NodeProto()
+        nd.op_type = op
+        nd.name = self.name(op)
+        nd.input.extend(inputs)
+        outs = [self.name(hint or op.lower()) for _ in range(n_out)]
+        nd.output.extend(outs)
+        for k, val in attrs.items():
+            a = nd.attribute.add()
+            a.name = k
+            if isinstance(val, float):
+                a.type, a.f = O.AttributeProto.FLOAT, val
+            elif isinstance(val, bool) or isinstance(val, (int, np.integer)):
+                a.type, a.i = O.AttributeProto.INT, int(val)
+            elif isinstance(val, str):
+                a.type, a.s = O.AttributeProto.STRING, val.encode()
+            elif isinstance(val, (list, tuple)) and all(isinstance(x, (int, np.integer)) for x in val):
+                a.type = O.AttributeProto.INTS
+                a.ints.extend(int(x) for x in val)
+            elif isinstance(val, (list, tuple)):
+                a.type = O.AttributeProto.FLOATS
+                a.floats.extend(float(x) for x in val)
+            else:
+                raise TypeError(f"attr {k}={val!r}")
+        self.nodes.append(nd)
+        return outs[0] if n_out == 1 else outs
+
+
+def _w(kernel):  # HWIO -> OIHW
+    return np.transpose(np.asarray(kernel, np.float32), (3, 2, 0, 1))
+
+
+def _pads(p):
+    p = int(p)
+    return [p, p, p, p]
+
+
+def _act(b, mod, x):
+    act = getattr(mod, "act", True)
+    if act is True:
+        s = b.node("Sigmoid", [x])
+        return b.node("Mul", [x, s], hint="silu")
+    if act == "relu":
+        return b.node("Relu", [x])
+    return x
+
+
+class Emitter:
+    """Walks the fused model graph and emits ONNX nodes per module."""
+
+    def __init__(self, builder: Builder):
+        self.b = builder
+
+    def emit(self, mod, v, x):
+        b = self.b
+        if isinstance(mod, M.Conv):  # incl. DWConv/Conv2 (fused to plain conv)
+            wname = b.const(_w(v["conv"]["kernel"]), "W")
+            bias = b.const(np.asarray(v["conv"]["bias"], np.float32), "B") if "bias" in v["conv"] else None
+            ins = [x, wname] + ([bias] if bias else [])
+            y = b.node("Conv", ins, strides=[mod.s, mod.s], pads=_pads(mod.p), group=mod.g, dilations=[mod.d, mod.d])
+            return _act(b, mod, y)
+        if isinstance(mod, M.Conv2dRaw):
+            wname = b.const(_w(v["kernel"]), "W")
+            ins = [x, wname] + ([b.const(np.asarray(v["bias"], np.float32), "B")] if "bias" in v else [])
+            return b.node("Conv", ins, strides=[mod.s, mod.s], pads=_pads(mod.p), group=mod.g, dilations=[mod.d, mod.d])
+        if isinstance(mod, M.RepVGGBlock):  # fused: one 3x3 conv + bias + SiLU
+            assert "kernel" in v, "export requires fused variables (model.fuse)"
+            wname = b.const(_w(v["kernel"]), "W")
+            bias = b.const(np.asarray(v["bias"], np.float32), "B")
+            y = b.node("Conv", [x, wname, bias], strides=[mod.s, mod.s], pads=[1, 1, 1, 1], group=mod.g, dilations=[1, 1])
+            s = b.node("Sigmoid", [y])
+            return b.node("Mul", [y, s], hint="silu")
+        if isinstance(mod, M.Bottleneck):
+            y = self.emit(mod.cv2, v["cv2"], self.emit(mod.cv1, v["cv1"], x))
+            return b.node("Add", [x, y]) if mod.add else y
+        if isinstance(mod, M.C2f):  # also C2fCIB/C2fPSA via same topology
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            c = mod.c
+            ys = [self._slice_ch(y0, 0, c), self._slice_ch(y0, c, 2 * c)]
+            for i, m in enumerate(mod.m):
+                ys.append(self.emit(m, v["m"][str(i)], ys[-1]))
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", ys, axis=1))
+        if isinstance(mod, (M.C2,)):
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            c = mod.c
+            a, bb = self._slice_ch(y0, 0, c), self._slice_ch(y0, c, 2 * c)
+            for i, m in enumerate(mod.m):
+                a = self.emit(m, v["m"][str(i)], a)
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", [a, bb], axis=1))
+        if isinstance(mod, M.C3):  # also C3Ghost/C3x via child dispatch
+            a = self.emit(mod.cv1, v["cv1"], x)
+            for i, m in enumerate(mod.m):
+                a = self.emit(m, v["m"][str(i)], a)
+            c = self.emit(mod.cv2, v["cv2"], x)
+            return self.emit(mod.cv3, v["cv3"], b.node("Concat", [a, c], axis=1))
+        if isinstance(mod, M.SPPF):
+            y = [self.emit(mod.cv1, v["cv1"], x)]
+            for _ in range(3):
+                y.append(b.node("MaxPool", [y[-1]], kernel_shape=[mod.k, mod.k], strides=[1, 1], pads=_pads(mod.k // 2)))
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", y, axis=1))
+        if isinstance(mod, M.SPP):
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            ys = [y0] + [b.node("MaxPool", [y0], kernel_shape=[k, k], strides=[1, 1], pads=_pads(k // 2)) for k in mod.k]
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", ys, axis=1))
+        if isinstance(mod, M.GhostConv):
+            y = self.emit(mod.cv1, v["cv1"], x)
+            y2 = self.emit(mod.cv2, v["cv2"], y)
+            return b.node("Concat", [y, y2], axis=1)
+        if isinstance(mod, M.GhostBottleneck):
+            y = self.emit(mod.g1, v["g1"], x)
+            if mod.dw is not None:
+                y = self.emit(mod.dw, v["dw"], y)
+            y = self.emit(mod.g2, v["g2"], y)
+            if mod.add:
+                return b.node("Add", [x, y])
+            sc = self.emit(mod.sc_pw, v["sc_pw"], self.emit(mod.sc_dw, v["sc_dw"], x))
+            return b.node("Add", [sc, y])
+        if isinstance(mod, M.SCDown):
+            return self.emit(mod.cv2, v["cv2"], self.emit(mod.cv1, v["cv1"], x))
+        if isinstance(mod, M.Upsample):
+            roi = self.b.const(np.zeros(0, np.float32), "roi")
+            scales = self.b.const(np.array([1.0, 1.0, mod.scale, mod.scale], np.float32), "scales")
+            return b.node("Resize", [x, roi, scales], mode="nearest", coordinate_transformation_mode="asymmetric", nearest_mode="floor")
+        if isinstance(mod, M.Concat):
+            return b.node("Concat", x, axis=1)
+        if isinstance(mod, M.MaxPool2d):
+            return b.node("MaxPool", [x], kernel_shape=[mod.k, mod.k], strides=[mod.s, mod.s], pads=_pads(mod.p))
+        if isinstance(mod, M.ZeroPad2d):
+            l, r, t, bo = mod.padding
+            pads = self.b.const(np.array([0, 0, t, l, 0, 0, bo, r], np.int64), "pads")
+            return b.node("Pad", [x, pads], mode="constant")
+        if isinstance(mod, M.Identity):
+            return x
+        if isinstance(mod, (M._Seq,)):
+            for i, m in enumerate(mod.m):
+                x = self.emit(m, v["m"][str(i)], x)
+            return x
+        from drone_yolo_tpu.nn.build import _RepeatSeq
+
+        if isinstance(mod, _RepeatSeq):
+            for i, m in enumerate(mod.m):
+                x = self.emit(m, v["m"][str(i)], x)
+            return x
+        if isinstance(mod, M.Classify):
+            y = self.emit(mod.conv, v["conv"], x)
+            y = b.node("GlobalAveragePool", [y])
+            y = b.node("Flatten", [y], axis=1)
+            wn = b.const(np.asarray(v["linear"]["kernel"], np.float32), "lin_w")  # (in, out)
+            bn = b.const(np.asarray(v["linear"]["bias"], np.float32), "lin_b")
+            y = b.node("MatMul", [y, wn])
+            y = b.node("Add", [y, bn])
+            return b.node("Softmax", [y], axis=1)
+        raise NotImplementedError(
+            f"ONNX emitter: unsupported module {type(mod).__name__}. Supported: detect/classify "
+            f"graphs over Conv/C2f/C3/SPPF/Ghost/RepVGG/SCDown/Upsample/Concat/MaxPool."
+        )
+
+    def _slice_ch(self, x, start, end):
+        b = self.b
+        starts = b.const(np.array([start], np.int64), "starts")
+        ends = b.const(np.array([end], np.int64), "ends")
+        axes = b.const(np.array([1], np.int64), "axes")
+        return b.node("Slice", [x, starts, ends, axes])
+
+    def emit_detect(self, head: M.Detect, v, xs, imgsz):
+        """Raw maps + in-graph DFL decode -> (B, 4+nc, A), reference Detect
+        export contract (head.py:100 _inference)."""
+        from drone_yolo_tpu.ops.anchors import make_anchors
+
+        b = self.b
+        reg, nc, no = head.reg_max, head.nc, head.no
+        flats = []
+        feat_shapes = []
+        for i, x in enumerate(xs):
+            box = self.emit(head.cv2[i], v["cv2"][str(i)], x)
+            cls = self.emit(head.cv3[i], v["cv3"][str(i)], x)
+            m = b.node("Concat", [box, cls], axis=1)  # (B, no, h, w)
+            h = int(imgsz // head.stride[i])
+            feat_shapes.append((h, h))
+            shp = b.const(np.array([0, no, h * h], np.int64), "shape")
+            flats.append(b.node("Reshape", [m, shp]))
+        flat = b.node("Concat", flats, axis=2)  # (B, no, A)
+        anchors, strides = make_anchors(feat_shapes, head.stride, 0.5)
+        A = anchors.shape[0]
+
+        box = self._slice_ch(flat, 0, 4 * reg)  # (B, 4*reg, A)
+        cls = self._slice_ch(flat, 4 * reg, no)
+        shp = b.const(np.array([0, 4, reg, A], np.int64), "shape")
+        box4 = b.node("Reshape", [box, shp])  # (B, 4, reg, A)
+        prob = b.node("Softmax", [box4], axis=2)
+        rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, 1, reg, 1), "dfl_rng")
+        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng])], axes=[2], keepdims=0)  # (B, 4, A)
+
+        anc = np.asarray(anchors, np.float32).T.reshape(1, 2, A)  # (1, 2, A) xy
+        anc_n = b.const(anc, "anchors")
+        lt = self._slice_ch(dist, 0, 2)
+        rb = self._slice_ch(dist, 2, 4)
+        x1y1 = b.node("Sub", [anc_n, lt])
+        x2y2 = b.node("Add", [anc_n, rb])
+        cxy = b.node("Mul", [b.node("Add", [x1y1, x2y2]), b.const(np.array(0.5, np.float32), "half")])
+        wh = b.node("Sub", [x2y2, x1y1])
+        dbox = b.node("Concat", [cxy, wh], axis=1)  # (B, 4, A) xywh
+        sn = b.const(np.asarray(strides, np.float32).reshape(1, 1, A), "strides")
+        dbox = b.node("Mul", [dbox, sn])
+        scores = b.node("Sigmoid", [cls])
+        return b.node("Concat", [dbox, scores], axis=1, hint="output")  # (B, 4+nc, A)
+
+
+def export_onnx(model, variables, path, imgsz=640, batch=1):
+    """Serialize `model` (a nn.model BaseModel subclass) with FUSED `variables`
+    to an ONNX file. Returns the path."""
+    b = Builder()
+    em = Emitter(b)
+    variables = model.fuse(variables)
+
+    names = {}
+    out_name = None
+    x0 = "images"
+    out_dims = None
+    for spec in model.layers:
+        f = spec.f
+        xin = x0 if f == -1 else (names[f] if isinstance(f, int) else [x0 if j == -1 else names[j] for j in f])
+        v = variables.get(str(spec.i), {})
+        if isinstance(spec.module, M.Detect) and not isinstance(spec.module, (M.v10Detect, M.Segment, M.Pose, M.OBB, M.WorldDetect)):
+            head = spec.module
+            out_name = em.emit_detect(spec.module, v, xin, imgsz)
+            A = sum((imgsz // int(s)) ** 2 for s in head.stride)
+            out_dims = (batch, 4 + head.nc, A)
+            break
+        if isinstance(spec.module, M.Classify):
+            out_name = em.emit(spec.module, v, xin)
+            out_dims = (batch, spec.module.c2)
+            break
+        if isinstance(spec.module, (M.v10Detect, M.Segment, M.Pose, M.OBB, M.WorldDetect)):
+            raise NotImplementedError(f"ONNX export currently covers Detect/Classify heads, not {type(spec.module).__name__}")
+        x0 = em.emit(spec.module, v, xin)
+        names[spec.i] = x0
+
+    mp = O.ModelProto()
+    mp.ir_version = 8
+    mp.producer_name = "drone_yolo_tpu"
+    mp.producer_version = "0.3"
+    op = mp.opset_import.add()
+    op.version = OPSET
+    g = mp.graph
+    g.name = "main"
+    g.node.extend(b.nodes)
+    g.initializer.extend(b.inits)
+
+    vi = g.input.add()
+    vi.name = "images"
+    vi.type.tensor_type.elem_type = FLOAT
+    for d in (batch, 3, imgsz, imgsz):
+        vi.type.tensor_type.shape.dim.add().dim_value = d
+
+    vo = g.output.add()
+    vo.name = out_name
+    vo.type.tensor_type.elem_type = FLOAT
+    for d in out_dims or ():
+        vo.type.tensor_type.shape.dim.add().dim_value = d
+    # rename final output to the reference's conventional name
+    for nd in g.node:
+        for i, o in enumerate(nd.output):
+            if o == out_name:
+                nd.output[i] = "output0"
+        for i, o in enumerate(nd.input):
+            if o == out_name:
+                nd.input[i] = "output0"
+    vo.name = "output0"
+
+    path = Path(path)
+    path.write_bytes(mp.SerializeToString())
+    return str(path)

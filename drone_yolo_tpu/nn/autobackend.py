@@ -37,6 +37,9 @@ class AutoBackend:
         elif p.endswith(".stablehlo"):
             self.kind = "stablehlo"
             self._init_stablehlo()
+        elif p.endswith(".onnx"):
+            self.kind = "onnx"
+            self._init_onnx()
         elif p.endswith(".tflite"):
             self.kind = "tflite"
             self._init_tflite()
@@ -143,6 +146,24 @@ class AutoBackend:
             self.meta.setdefault("names", hdr.get("names"))
             self.meta.setdefault("task", hdr.get("task"))
             self.meta.setdefault("stride", hdr.get("stride"))
+
+    def _init_onnx(self):
+        """ONNX via OpenCV DNN (the reference's cv2.dnn path, autobackend
+        'opencv-dnn'; onnxruntime is not shipped in this image). The artifact
+        is NCHW in, (B, 4+nc, A) raw decoded preds out — transposed here to
+        the uniform NHWC-in / (B, A, 4+nc)-out contract."""
+        import cv2
+
+        net = cv2.dnn.readNetFromONNX(str(self.path))
+        self.model = None
+        self._sibling_meta()
+
+        def call(x):
+            net.setInput(np.ascontiguousarray(np.asarray(x, np.float32).transpose(0, 3, 1, 2)))
+            out = net.forward()
+            return out.transpose(0, 2, 1) if out.ndim == 3 else out
+
+        self._call = call
 
     def _init_tflite(self):
         import tensorflow as tf
