@@ -68,8 +68,13 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        # multi-process: batch_size is GLOBAL; each process assembles its
+        # 1/process_count stripe and shard_batch glues the global jax.Array
+        # (parallel/mesh.py). Same step count on every host by construction.
+        assert batch_size % process_count == 0, f"global batch {batch_size} must divide by {process_count} processes"
+        self.local_bs = batch_size // process_count
         n_local = len(dataset) // process_count if process_count > 1 else len(dataset)
-        self.nb = n_local // batch_size if drop_last else math.ceil(n_local / batch_size)
+        self.nb = n_local // self.local_bs if drop_last else math.ceil(n_local / self.local_bs)
 
     def __len__(self):
         return self.nb
@@ -101,7 +106,7 @@ class DataLoader:
         `workers + prefetch` so memory stays capped.
         """
         idx = self._indices()
-        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(self.nb)]
+        batches = [idx[i * self.local_bs : (i + 1) * self.local_bs] for i in range(self.nb)]
         if self.workers <= 1:
             yield from self._iter_single(batches)
             return

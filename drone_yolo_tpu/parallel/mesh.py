@@ -72,17 +72,31 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Device-put a host batch dict with the leading dim sharded over `axis`.
 
     Replaces DistributedSampler + per-rank batch division (reference
-    data/build.py:144, trainer.py:286): the global batch is laid out across
-    devices in one call; per-host, jax.make_array_from_process_local_data would
-    slot in here for multi-process runs.
+    data/build.py:144, trainer.py:286). Single-process: the GLOBAL batch is
+    laid out across local devices in one call. Multi-process (after
+    jax.distributed.initialize): each process holds only its LOCAL stripe
+    (1/process_count of the global batch, from the loader's per-host
+    permutation slice) and `jax.make_array_from_process_local_data` assembles
+    the global jax.Array without any host gathering — the reference's
+    DistributedSampler semantics with zero cross-host data movement.
+    Tested in tests/test_multihost.py with 2 real processes over localhost.
     """
     sh = data_sharding(mesh, axis)
+    rep = replicate(mesh)
+    nproc = jax.process_count()
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
-            out[k] = jax.device_put(v, sh)
-        elif isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, replicate(mesh))
-        else:
+        if not isinstance(v, np.ndarray):
             out[k] = v  # host-side metadata (paths, shapes)
+        elif v.ndim >= 1 and (v.shape[0] * nproc) % mesh.shape[axis] == 0:
+            if nproc > 1:
+                global_shape = (v.shape[0] * nproc, *v.shape[1:])
+                out[k] = jax.make_array_from_process_local_data(sh, v, global_shape)
+            else:
+                out[k] = jax.device_put(v, sh)
+        else:
+            if nproc > 1:
+                out[k] = jax.make_array_from_process_local_data(rep, v, v.shape)
+            else:
+                out[k] = jax.device_put(v, rep)
     return out
