@@ -74,7 +74,8 @@ def test_loader_striping_covers_each_sample_once(tmp_path):
     P = 4
     seen = []
     for pi in range(P):
-        dl = build_dataloader(dataset, 2, workers=1, shuffle=True, seed=0, drop_last=False, process_index=pi, process_count=P)
+        # batch is GLOBAL (8 here -> 2 per host across P=4 hosts)
+        dl = build_dataloader(dataset, 8, workers=1, shuffle=True, seed=0, drop_last=False, process_index=pi, process_count=P)
         dl.set_epoch(3)
         for batch in dl:
             seen += list(batch["im_files"])
@@ -84,7 +85,7 @@ def test_loader_striping_covers_each_sample_once(tmp_path):
     # and a different epoch reshuffles but still partitions cleanly
     seen2 = []
     for pi in range(P):
-        dl = build_dataloader(dataset, 2, workers=1, shuffle=True, seed=0, drop_last=False, process_index=pi, process_count=P)
+        dl = build_dataloader(dataset, 8, workers=1, shuffle=True, seed=0, drop_last=False, process_index=pi, process_count=P)
         dl.set_epoch(4)
         seen2 += [f for b in dl for f in b["im_files"]]
     assert len(set(seen2)) == len(seen2)
