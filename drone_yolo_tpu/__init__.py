@@ -7,8 +7,31 @@ bfloat16 MXU matmuls/convs, SPMD data parallelism over a `jax.sharding.Mesh`, on
 NMS, and a functional (pytree) parameter model instead of mutable nn.Modules.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from drone_yolo_tpu.engine.model import YOLO
 
-__all__ = ["YOLO", "__version__"]
+
+def __getattr__(name):
+    # lazy facades (reference ultralytics/__init__.py exports): avoid importing
+    # every model family at package import
+    if name == "NAS":
+        from drone_yolo_tpu.models.nas import NAS
+
+        return NAS
+    if name == "RTDETR":
+        from drone_yolo_tpu.models.rtdetr.model import RTDETR
+
+        return RTDETR
+    if name == "SAM":
+        from drone_yolo_tpu.models.sam import SAM
+
+        return SAM
+    if name == "FastSAM":
+        from drone_yolo_tpu.models.fastsam import FastSAM
+
+        return FastSAM
+    raise AttributeError(name)
+
+
+__all__ = ["YOLO", "NAS", "RTDETR", "SAM", "FastSAM", "__version__"]

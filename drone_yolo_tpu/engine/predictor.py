@@ -59,6 +59,12 @@ class Profile:
 class BasePredictor(CallbackMixin):
     """Streaming generator inference engine."""
 
+    @staticmethod
+    def adapt_raw(preds):
+        """Hook: adapt raw model output to the uniform (B, A, 4+nc) contract
+        before NMS (overridden by NASPredictor — reference models/nas/predict.py)."""
+        return preds
+
     def __init__(self, cfg=DEFAULT_CFG_DICT, overrides=None, _callbacks=None):
         self.args = get_cfg(cfg, overrides)
         if self.args.conf is None:
@@ -111,6 +117,7 @@ class BasePredictor(CallbackMixin):
                 preds = self.model.predict_augmented(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
             else:
                 preds, _ = self.model.apply(variables, x, ctx=M.Ctx(train=False, dtype=self.dtype))
+            preds = self.adapt_raw(preds)
             if end2end:  # NMS-free: preds are already (B, max_det, 6) sorted by score
                 dets = preds[:, :max_det]
                 n_valid = jnp.sum(dets[..., 4] > conf, axis=-1).astype(jnp.int32)

@@ -146,6 +146,9 @@ class BaseTrainer(CallbackMixin):
         enable_compile_cache()
         self.run_callbacks("on_pretrain_routine_start")
         self.setup_model()
+        if getattr(self.args, "spd_stem", False):
+            applied = self.model.enable_spd_stem()
+            LOGGER.info(f"spd_stem: {'enabled (exact space-to-depth stem reformulation)' if applied else 'not applicable to this stem, ignored'}")
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(self.args))
 

@@ -50,6 +50,13 @@ class BaseValidator(CallbackMixin):
         self.speed = {}
         self._jit_cache = {}
 
+    @staticmethod
+    def adapt_raw(preds):
+        """Hook: adapt a model's raw output to the uniform (B, A, 4+nc)
+        contract before NMS (overridden by NASValidator for (boxes, scores)
+        pair emitters — reference models/nas/val.py)."""
+        return preds
+
     def __call__(self, model=None, variables=None):
         """Validate a YOLO facade, or an AutoBackend artifact (reference
         validator.py:128 AutoBackend branch) — optionally with explicit
@@ -165,7 +172,7 @@ class BaseValidator(CallbackMixin):
             )
 
             def backend_fn(_variables, x):
-                preds = backend(np.asarray(x, np.float32))
+                preds = self.adapt_raw(backend(np.asarray(x, np.float32)))
                 return nms(jnp.asarray(preds))
 
             self._jit_cache[key] = backend_fn
@@ -176,6 +183,7 @@ class BaseValidator(CallbackMixin):
         @jax.jit
         def fn(variables, x):
             preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))
+            preds = self.adapt_raw(preds)
             if end2end:  # NMS-free head emits sorted (B, max_det, 6) directly
                 dets = preds[:, :max_det]
                 n_valid = jnp.sum(dets[..., 4] > conf, axis=-1).astype(jnp.int32)

@@ -133,6 +133,21 @@ class BaseModel:
         return jnp.concatenate(outs, axis=1)
 
     # -- transforms ---------------------------------------------------------
+    def enable_spd_stem(self) -> bool:
+        """Swap the stem conv's execution for the space-to-depth reformulation
+        (modules.SPDConv): an EXACT compute-schedule change — parameters,
+        gradients, and checkpoints are untouched, so weight parity with the
+        reference is preserved. Returns True if applied (stem must be a plain
+        k3 s2 Conv). Idempotent."""
+        spec = self.layers[0]
+        mod = spec.module
+        if isinstance(mod, M.SPDConv):
+            return True
+        if type(mod) is M.Conv and mod.k == 3 and mod.s == 2 and mod.p == 1 and mod.g == 1 and mod.d == 1:
+            spec.module = M.SPDConv(mod)
+            return True
+        return False
+
     def fuse(self, variables):
         """Fold BN into convs and collapse RepVGG branches (pure weight transform).
 
