@@ -35,13 +35,18 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
+    pre_topk = int(os.environ.get("BENCH_PRETOPK", 512))
+    with_nms = os.environ.get("BENCH_NMS", "1") != "0"
+
     model = DetectionModel(model_name)
     variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
 
     @jax.jit
     def fn(variables, x):
         preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
-        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=512)
+        if not with_nms:  # NMS-share measurement (BENCH_NMS=0): raw head only
+            return preds, jnp.zeros((preds.shape[0],), jnp.int32)
+        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=pre_topk)
 
     x = jnp.asarray(np.random.default_rng(0).random((batch, imgsz, imgsz, 3), np.float32))
     variables = jax.device_put(variables)
@@ -61,7 +66,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"v8s_{imgsz}px_batch{batch}_infer_throughput",
+                "metric": f"{model_name.rsplit('.', 1)[0].replace('yolov8s', 'v8s')}_{imgsz}px_batch{batch}_infer_throughput",
                 "value": round(imgs_per_s, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(imgs_per_s / A100_TRT_V8S_IMGS_PER_S, 3),

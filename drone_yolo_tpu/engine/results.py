@@ -110,6 +110,12 @@ class Masks(BaseTensor):
 class Keypoints(BaseTensor):
     """Pose keypoints (N, K, 2|3) (reference results.py:1407)."""
 
+    def __init__(self, keypoints, orig_shape):
+        keypoints = np.asarray(keypoints)
+        if keypoints.ndim == 2:  # single instance (K, 2|3) — keep the instance dim (reference results.py:1438)
+            keypoints = keypoints[None, :]
+        super().__init__(keypoints, orig_shape)
+
     @property
     def xy(self):
         return self.data[..., :2]
@@ -169,6 +175,10 @@ class OBB(BaseTensor):
         return self.data[:, -1]
 
     @property
+    def id(self):
+        return self.data[:, -3] if self.is_track else None
+
+    @property
     def xyxyxyxy(self):
         """Corner representation (N, 4, 2)."""
         cx, cy, w, h, r = (self.data[:, i] for i in range(5))
@@ -185,6 +195,20 @@ class OBB(BaseTensor):
             axis=1,
         )
         return pts
+
+    @property
+    def xyxyxyxyn(self):
+        """Normalized corner representation (N, 4, 2) (reference results.py:1750)."""
+        pts = self.xyxyxyxy.copy()
+        pts[..., 0] /= self.orig_shape[1]
+        pts[..., 1] /= self.orig_shape[0]
+        return pts
+
+    @property
+    def xyxy(self):
+        """Axis-aligned hull of the rotated box (reference results.py:1772)."""
+        pts = self.xyxyxyxy
+        return np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=-1)
 
 
 class Results(SimpleClass):
@@ -225,7 +249,7 @@ class Results(SimpleClass):
     def new(self):
         return Results(self.orig_img, self.path, self.names, speed=self.speed)
 
-    def update(self, boxes=None, masks=None, probs=None, obb=None):
+    def update(self, boxes=None, masks=None, probs=None, obb=None, keypoints=None):
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_shape)
         if masks is not None:
@@ -234,6 +258,8 @@ class Results(SimpleClass):
             self.probs = probs
         if obb is not None:
             self.obb = OBB(obb, self.orig_shape)
+        if keypoints is not None:
+            self.keypoints = Keypoints(keypoints, self.orig_shape)
 
     def plot(self, conf: bool = True, line_width=None, labels: bool = True, boxes: bool = True, masks: bool = True, probs: bool = True, color_mode: str = "class", img=None):
         """Draw detections on the image; returns annotated BGR numpy array."""
@@ -347,10 +373,51 @@ class Results(SimpleClass):
     def to_json(self, normalize: bool = False, decimals: int = 5):
         return json.dumps(self.summary(normalize, decimals), indent=2)
 
+    tojson = to_json  # deprecated alias (reference results.py:906)
+
     def to_df(self, normalize: bool = False, decimals: int = 5):
         import pandas as pd
 
         return pd.DataFrame(self.summary(normalize, decimals))
+
+    def to_csv(self, normalize: bool = False, decimals: int = 5, **kwargs):
+        """CSV string of the summary (reference results.py:851)."""
+        return self.to_df(normalize, decimals).to_csv(**kwargs)
+
+    def to_xml(self, normalize: bool = False, decimals: int = 5, **kwargs):
+        """XML string of the summary (reference results.py:878)."""
+        df = self.to_df(normalize, decimals)
+        return df.to_xml(**kwargs) if len(df) else '<?xml version=\'1.0\' encoding=\'utf-8\'?>\n<root></root>'
+
+    def to_sql(self, table_name: str = "results", normalize: bool = False, decimals: int = 5, db_path: str = "results.db"):
+        """Write the summary into an SQLite table (reference results.py:945).
+
+        Nested box/segments/keypoints dicts are stored as JSON text columns,
+        matching the reference's json.dumps-per-column behavior."""
+        import sqlite3
+
+        recs = self.summary(normalize, decimals)
+        conn = sqlite3.connect(db_path)
+        try:
+            cur = conn.cursor()
+            cols = ["name", "class", "confidence", "box", "masks", "kpts"]
+            cur.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table_name}" '
+                "(id INTEGER PRIMARY KEY AUTOINCREMENT, name TEXT, class INTEGER, confidence REAL, box TEXT, masks TEXT, kpts TEXT)"
+            )
+            for r in recs:
+                row = (
+                    r.get("name"),
+                    r.get("class"),
+                    r.get("confidence"),
+                    json.dumps(r.get("box", {})),
+                    json.dumps(r.get("segments", {})),
+                    json.dumps(r.get("keypoints", {})),
+                )
+                cur.execute(f'INSERT INTO "{table_name}" ({", ".join(cols)}) VALUES (?, ?, ?, ?, ?, ?)', row)
+            conn.commit()
+        finally:
+            conn.close()
 
     def verbose(self):
         """Log string like '2 persons, 1 bus'."""

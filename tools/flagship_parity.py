@@ -29,9 +29,11 @@ from pathlib import Path
 WORK = Path(os.environ.get("FLAGSHIP_WORK", "/tmp/flagship_parity"))
 MODEL_YAML = "yolov8s-p2-repvgg-sf.yaml"
 NC = 6
-IMGSZ = 320
+IMGSZ = int(os.environ.get("FLAGSHIP_IMGSZ", 320))
 EPOCHS = int(os.environ.get("FLAGSHIP_EPOCHS", 60))
-BATCH = 8
+BATCH = int(os.environ.get("FLAGSHIP_BATCH", 8))
+N_TRAIN = int(os.environ.get("FLAGSHIP_NTRAIN", 160))
+N_VAL = int(os.environ.get("FLAGSHIP_NVAL", 96))
 SEED = 0
 
 # matched training hyps, reference cfg names (ours uses the same names).
@@ -99,7 +101,7 @@ def cmd_init():
     from refshim import load_reference, patch_reference_repvgg
 
     WORK.mkdir(parents=True, exist_ok=True)
-    yaml_path = make_dense_dataset(WORK / "dataset", n_train=160, n_val=96, size=IMGSZ, seed=7, nc=NC)
+    yaml_path = make_dense_dataset(WORK / "dataset", n_train=N_TRAIN, n_val=N_VAL, size=IMGSZ, seed=7, nc=NC)
     print("dataset:", yaml_path)
 
     assert load_reference() is not None, "torch reference required for shared init"
@@ -217,7 +219,7 @@ def cmd_report():
     diff = abs(r["map50_95"] - o["map50_95"])
     report = {
         "model": MODEL_YAML,
-        "dataset": "dense small-object VisDrone proxy (160 train / 96 val, ~114 obj/img, 6-24px @320)",
+        "dataset": f"dense small-object VisDrone proxy ({N_TRAIN} train / {N_VAL} val, ~114 obj/img, tiny boxes @{IMGSZ})",
         "ref_map50_95": round(r["map50_95"], 4),
         "ours_map50_95": round(o["map50_95"], 4),
         "ref_map50": round(r["map50"], 4),

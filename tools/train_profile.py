@@ -43,6 +43,9 @@ def main():
 
     model = DetectionModel(model_name, nc=4)
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    spd = bool(os.environ.get("PROF_SPD"))
+    if spd:
+        assert model.enable_spd_stem(), "stem not SPD-transformable"
     criterion = v8DetectionLoss(model)
 
     for batch in batches:
@@ -91,7 +94,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "metric": f"train_step_{model_name.split('.')[0]}_{imgsz}px_b{batch}",
+                        "metric": f"train_step_{model_name.split('.')[0]}{'_spd' if spd else ''}_{imgsz}px_b{batch}",
                         "img_per_s": round(imgs_per_s, 1),
                         "step_ms": round(dt / iters * 1e3, 1),
                         "hlo_tflops_per_s": round(tflops, 1),
