@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from drone_yolo_tpu.ops.boxes import bbox_iou
 
 
-def kth_largest(x, k: int):
+def _kth_largest_passes(x, k: int):
     """EXACT k-th largest value along the last axis, keepdims, WITHOUT a sort.
 
     lax.top_k lowers to a variadic sort of the whole (B, M, A) metric tensor on
@@ -56,6 +56,40 @@ def kth_largest(x, k: int):
         cur = jnp.where(~done & (cur >= m), -jnp.inf, cur)
         cnt = cnt + jnp.where(done, 0, ties)
     return jnp.where(done, result, jnp.max(cur, axis=-1, keepdims=True))
+
+
+def kth_largest(x, k: int, block: int = 128):
+    """EXACT k-th largest along the last axis, keepdims — blocked two-phase.
+
+    For long rows (the flagship's A=34k anchors), the k-1 masking passes of
+    `_kth_largest_passes` each stream the full (B, M, A) tensor through HBM
+    (~9 full passes). Instead: (1) one pass computes per-block maxes, (2)
+    lax.top_k picks the k best blocks per row (a tiny (B, M, A/block) sort),
+    (3) a one-hot MXU contraction pulls those k blocks' elements (k*block per
+    row, ~26x smaller), (4) the masking passes run on that candidate set.
+
+    Exactness proof (duplicates counted, torch.topk semantics): at most k-1
+    elements exceed the true k-th value v_k, so every chosen block's max is
+    >= v_k and the chosen blocks jointly hold >= k elements >= v_k but at most
+    k-1 elements > v_k — the k-th largest of the candidate set is exactly v_k.
+    Padding uses the finite dtype minimum (NOT -inf: non-selected blocks are
+    multiplied by 0 in the contraction and 0 * -inf would poison the sum with
+    NaN) and never wins while the row has >= k real elements (A >= k). x must
+    be finite (the align metric is in [0, 1]).
+    """
+    a = x.shape[-1]
+    g = -(-a // block)
+    if a <= 4 * k * block or k > block:  # short rows: passes are already cheap
+        return _kth_largest_passes(x, k)
+    pad_val = jnp.finfo(x.dtype).min
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, g * block - a)], constant_values=pad_val)
+    xb = xb.reshape(*x.shape[:-1], g, block)
+    bmax = jnp.max(xb, axis=-1)  # (..., G)
+    _, bidx = jax.lax.top_k(bmax, k)  # (..., k) distinct block ids
+    oh = jax.nn.one_hot(bidx, g, dtype=x.dtype)  # (..., k, G)
+    cand = jnp.einsum("...kg,...gx->...kx", oh, xb, precision=jax.lax.Precision.HIGHEST)
+    cand = cand.reshape(*x.shape[:-1], k * block)
+    return _kth_largest_passes(cand, k)
 
 
 def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
@@ -87,10 +121,14 @@ def assign(
 
     # ---- alignment metric over all (gt, anchor) pairs ----------------------
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
-    # class score of each anchor at each GT's class: gather along class dim
+    # class score of each anchor at each GT's class. One-hot CONTRACTION, not
+    # take_along_axis: at the flagship's A=34k a (B,*,A)-indexed HLO gather is
+    # serial-DMA bound on TPU (~21 ms/step measured); the one-hot matmul rides
+    # the MXU and is bit-exact at HIGHEST precision (single nonzero term, 1.0
+    # is exact in every bf16 pass of the f32 decomposition).
     gl = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)  # (B, M)
-    scores_t = jnp.swapaxes(pd_scores, 1, 2)  # (B, nc, A)
-    bov = jnp.take_along_axis(scores_t, gl[:, :, None], axis=1)  # (B, M, A)
+    oh_cls = jax.nn.one_hot(gl, nc, dtype=pd_scores.dtype)  # (B, M, nc)
+    bov = jnp.einsum("bmc,bac->bma", oh_cls, pd_scores, precision=jax.lax.Precision.HIGHEST)
     overlaps = jnp.clip(
         bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0, None
     )  # (B, M, A)
@@ -110,9 +148,13 @@ def assign(
     onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=align.dtype)  # (B, M, A)
     mask_pos = (onehot_gt > 0) & fg_mask[:, None, :] & mask_pos
 
-    # ---- targets ------------------------------------------------------------
-    target_labels = jnp.take_along_axis(gl, target_gt_idx, axis=1)  # (B, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[:, :, None], axis=1)  # (B, A, 4)
+    # ---- targets (one-hot contractions over M — same MXU trick as bov) -----
+    target_labels = jnp.einsum(
+        "bma,bm->ba", onehot_gt, gl.astype(onehot_gt.dtype), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)  # (B, A)
+    target_bboxes = jnp.einsum(
+        "bma,bmc->bac", onehot_gt, gt_bboxes, precision=jax.lax.Precision.HIGHEST
+    )  # (B, A, 4)
 
     # normalized alignment scores (reference tal.py:118-127)
     align_pos = jnp.where(mask_pos, align, 0.0)
@@ -173,8 +215,9 @@ def assign_rotated(
 
     mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_rboxes)
     gl = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
-    scores_t = jnp.swapaxes(pd_scores, 1, 2)
-    bov = jnp.take_along_axis(scores_t, gl[:, :, None], axis=1)
+    # one-hot contraction instead of take_along_axis (see `assign`)
+    oh_cls = jax.nn.one_hot(gl, nc, dtype=pd_scores.dtype)
+    bov = jnp.einsum("bmc,bac->bma", oh_cls, pd_scores, precision=jax.lax.Precision.HIGHEST)
     overlaps = jnp.clip(probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0, None)
     valid = mask_in_gts & mask_gt[:, :, None]
     align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
@@ -189,8 +232,12 @@ def assign_rotated(
     onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=align.dtype)
     mask_pos = (onehot_gt > 0) & fg_mask[:, None, :] & mask_pos
 
-    target_labels = jnp.take_along_axis(gl, target_gt_idx, axis=1)
-    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[:, :, None], axis=1)
+    target_labels = jnp.einsum(
+        "bma,bm->ba", onehot_gt, gl.astype(onehot_gt.dtype), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
+    target_rboxes = jnp.einsum(
+        "bma,bmc->bac", onehot_gt, gt_rboxes, precision=jax.lax.Precision.HIGHEST
+    )
 
     align_pos = jnp.where(mask_pos, align, 0.0)
     pos_align_max = jnp.max(align_pos, axis=-1, keepdims=True)

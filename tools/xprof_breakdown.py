@@ -67,8 +67,12 @@ def collect(trace_dir: str):
             continue
         for line in plane.lines:
             lname = line.name.lower()
-            # XLA op lines carry the per-op activity; skip step/async-queue lines
-            if "xla op" not in lname and "xla ops" not in lname:
+            # ONLY the synchronous 'XLA Ops' line: its events tile the real
+            # serialized TensorCore timeline (busy == span). 'Async XLA Ops'
+            # carries overlapping DMA durations (issue->completion incl. queue
+            # wait) that sum to several times the wall clock — counting them
+            # made copies look like 80%+ of the step.
+            if lname != "xla ops":
                 continue
             for ev in line.events:
                 dur = ev.duration_ns
@@ -80,8 +84,10 @@ def collect(trace_dir: str):
 
 def categorize(name: str) -> str:
     n = name.lower()
-    if "conv" in n:
+    if "convolution" in n:  # NOT bare "conv": convert_reduce_fusion is BN stats
         return "conv (fwd/bwd)"
+    if "convert_reduce" in n or "reduce_fusion" in n:
+        return "bn-stats/reduce"
     if re.search(r"\b(dot|gemm|matmul)", n):
         return "matmul"
     if "all-reduce" in n or "allreduce" in n:
@@ -172,6 +178,10 @@ def main():
     print(f"\n-- top {args.top} ops --")
     for name, ns in per_op.most_common(args.top):
         print(f"{ns / total_ns * 100:6.2f}%  {ns / 1e6:9.2f} ms  {name[:110]}")
+    print(f"\n-- top {args.top} convs --")
+    convs = collections.Counter({n: v for n, v in per_op.items() if "convolution" in n.lower()})
+    for name, ns in convs.most_common(args.top):
+        print(f"{ns / total_ns * 100:6.2f}%  {ns / 1e6:9.2f} ms  {name[:160]}")
 
 
 if __name__ == "__main__":
