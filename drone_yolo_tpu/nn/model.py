@@ -148,6 +148,31 @@ class BaseModel:
             return True
         return False
 
+    def enable_spd_stride2(self) -> int:
+        """Execute EVERY top-level k3 s2 p1 conv (Conv/DWConv incl. grouped,
+        RepVGGBlock stride-2 blocks, the stem) in space-to-depth form.
+
+        Same exactness contract as enable_spd_stem: parameters, gradients, BN,
+        and checkpoints are untouched — the SPD kernels are built from the
+        original 3x3 parameters inside the traced step, so reference weight
+        parity survives. Motivation: xprof shows XLA's stride-2 conv BACKWARD
+        at small channel counts emitting dim-split wgrad layouts plus physical
+        transposes of the big P1/P2 activations; the k2 s1 form avoids them
+        and quadruples the MXU contraction depth. Downsample blocks live at
+        the graph's top level (C2f internals are stride-1), so walking
+        `self.layers` covers the network. Returns the number of convs
+        transformed. Idempotent."""
+        n = 0
+        for spec in self.layers:
+            mod = spec.module
+            if isinstance(mod, M.RepVGGBlock) and mod.s == 2:
+                mod.spd = True
+                n += 1
+            elif isinstance(mod, M.Conv) and mod.k == 3 and mod.s == 2 and mod.p == 1 and mod.d == 1:
+                mod.spd = True
+                n += 1
+        return n
+
     def fuse(self, variables):
         """Fold BN into convs and collapse RepVGG branches (pure weight transform).
 

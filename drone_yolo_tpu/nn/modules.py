@@ -227,13 +227,74 @@ class Conv2dRaw(Module):
         return y.astype(ctx.dtype)
 
 
+def _spd_rearrange(x, groups: int = 1):
+    """(B,H,W,C) -> (B,H/2,W/2,4C) space-to-depth, slot-within-group order.
+
+    Output channel layout per group: suby*(2*cpg) + subx*cpg + c, matching
+    `_spd_kernel`'s tap placement. For groups>1 the four spatial slots of each
+    group stay contiguous so a grouped 2x2 conv sees them as one contraction.
+    """
+    b, h, w, c = x.shape
+    cpg = c // groups
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, groups, cpg)
+    return xs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _spd_kernel(w):
+    """(3,3,Cin,Cout) -> (2,2,4*Cin,Cout) for the k3 s2 p1 -> k2 s1 SPD form.
+
+    y(i,j) = sum_{dy,dx in -1..1} W[dy+1,dx+1] . X[2i+dy, 2j+dx]
+    with X[r,s,c] = Xspd[r//2, s//2, (r%2)*(2*Cin) + (s%2)*Cin + c]:
+    each original tap maps to a unique (ky',kx',slot) position; the top/left
+    pad row of the SPD tensor reproduces the original zero padding. Slots the
+    stride-2 window never reads stay zero. Works per-group (pass the
+    per-group Cin slice of a grouped kernel)."""
+    k3, _, cin, cout = w.shape
+    out = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for ky in range(3):
+        kyp, suby = (0, 1) if ky == 0 else (1, ky - 1)
+        for kx in range(3):
+            kxp, subx = (0, 1) if kx == 0 else (1, kx - 1)
+            ch = suby * (2 * cin) + subx * cin
+            out = out.at[kyp, kxp, ch : ch + cin, :].set(w[ky, kx])
+    return out
+
+
+def _spd_conv2d(xs, w, g: int = 1):
+    """2x2 stride-1 conv over an `_spd_rearrange`d tensor — EXACTLY the
+    k3 s2 p1 conv with kernel w (3,3,Cin/g,Cout)."""
+    return jax.lax.conv_general_dilated(
+        xs, _spd_kernel(w).astype(xs.dtype), window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=g,
+    )
+
+
+def _spd_conv2d_1x1(xs, w, g: int = 1):
+    """1x1 stride-2 conv (p=0) over an `_spd_rearrange`d tensor: only the
+    (suby=0, subx=0) slot of each group is read."""
+    cpg = w.shape[2]
+    kern = jnp.zeros((1, 1, 4 * cpg, w.shape[3]), w.dtype)
+    kern = kern.at[:, :, :cpg, :].set(w)
+    return jax.lax.conv_general_dilated(
+        xs, kern.astype(xs.dtype), window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=g,
+    )
+
+
 class Conv(Module):
-    """Conv2d + BN + SiLU (reference conv.py:37). Fused form: conv + bias + SiLU."""
+    """Conv2d + BN + SiLU (reference conv.py:37). Fused form: conv + bias + SiLU.
+
+    `spd=True` (set by BaseModel.enable_spd_stride2 on k3 s2 p1 convs) swaps
+    execution for the space-to-depth reformulation — bit-identical math with
+    4x the contraction depth and none of the stride-2 backward layout copies
+    XLA emits at small channel counts (xprof: the s2 wgrads dominated the
+    flagship's P1/P2 time)."""
 
     def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act=True):
         self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
         self.p = autopad(k, p, d)
         self.act = act
+        self.spd = False
 
     def init(self, key):
         fan_in = self.c1 // self.g * self.k * self.k
@@ -244,11 +305,13 @@ class Conv(Module):
 
     def __call__(self, v, x, ctx: Ctx):
         x = x.astype(ctx.dtype)
-        if "bn" in v:
-            y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
-            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        if self.spd:
+            y = _spd_conv2d(_spd_rearrange(x, self.g), v["conv"]["kernel"], self.g)
         else:
             y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
+        if "bn" in v:
+            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+        else:
             y = (y + v["conv"]["bias"]).astype(ctx.dtype)
         if self.act is True:
             return silu(y)
@@ -283,42 +346,10 @@ class SPDConv(Conv):
     """
 
     def __init__(self, conv: "Conv"):
-        assert conv.k == 3 and conv.s == 2 and conv.p == 1 and conv.g == 1 and conv.d == 1, "SPD stem requires a plain k3 s2 p1 conv"
+        assert conv.k == 3 and conv.s == 2 and conv.p == 1 and conv.d == 1, "SPD requires a k3 s2 p1 conv"
         super().__init__(conv.c1, conv.c2, conv.k, conv.s, conv.p, conv.g, conv.d, conv.act)
         self.path = conv.path
-
-    @staticmethod
-    def _spd_kernel(w):
-        """(3,3,C_in,C_out) -> (2,2,4*C_in,C_out), zero slots where sub==0
-        on the ky'=0/kx'=0 rows (never read by the stride-2 window)."""
-        k3, _, cin, cout = w.shape
-        out = jnp.zeros((2, 2, 4 * cin, w.shape[-1]), w.dtype)
-        for ky in range(3):
-            kyp, suby = ((0, 1) if ky == 0 else (1, ky - 1))
-            for kx in range(3):
-                kxp, subx = ((0, 1) if kx == 0 else (1, kx - 1))
-                ch = suby * (2 * cin) + subx * cin
-                out = out.at[kyp, kxp, ch : ch + cin, :].set(w[ky, kx])
-        return out
-
-    def __call__(self, v, x, ctx: Ctx):
-        x = x.astype(ctx.dtype)
-        b, h, w_, c = x.shape
-        xs = x.reshape(b, h // 2, 2, w_ // 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_ // 2, 4 * c)
-        kern = self._spd_kernel(v["conv"]["kernel"]).astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            xs, kern, window_strides=(1, 1), padding=((1, 0), (1, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        if "bn" in v:
-            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
-        else:
-            y = (y + v["conv"]["bias"]).astype(ctx.dtype)
-        if self.act is True:
-            return silu(y)
-        if self.act == "relu":
-            return jax.nn.relu(y)
-        return y
+        self.spd = True
 
 
 class DWConv(Conv):
@@ -1241,6 +1272,7 @@ class RepVGGBlock(Module):
         assert not use_se, "SE variant not used by the drone yamls"
         self.c1, self.c2, self.s, self.g = c1, c2, s, g
         self.has_identity = (c2 == c1) and (s == 1)
+        self.spd = False  # stride-2 space-to-depth execution (enable_spd_stride2)
 
     def init(self, key):
         fan3 = self.c1 // self.g * 9
@@ -1261,6 +1293,18 @@ class RepVGGBlock(Module):
 
     def __call__(self, v, x, ctx: Ctx):
         x = x.astype(ctx.dtype)
+        if self.spd and self.s == 2:
+            # space-to-depth execution of the stride-2 block: one rearrange
+            # feeds both branches (3x3 -> k2 s1 tap-mapped kernel; 1x1 -> slot
+            # (0,0) embed). s2 blocks have no identity branch. Bit-identical
+            # params/grads — compute schedule only.
+            xs = _spd_rearrange(x, self.g)
+            if "kernel" in v:  # fused deploy form
+                y = _spd_conv2d(xs, v["kernel"], self.g) + v["bias"]
+                return silu(y.astype(ctx.dtype))
+            y3 = _bn_apply(v["dense"]["bn"], _spd_conv2d(xs, v["dense"]["conv"]["kernel"], self.g), ctx, f"{self.path}.dense.bn")
+            y1 = _bn_apply(v["one"]["bn"], _spd_conv2d_1x1(xs, v["one"]["conv"]["kernel"], self.g), ctx, f"{self.path}.one.bn")
+            return silu(y3 + y1)
         if "kernel" in v:  # fused deploy form
             y = conv2d(x, v["kernel"], self.s, 1, 1, self.g) + v["bias"]
             return silu(y.astype(ctx.dtype))

@@ -60,3 +60,34 @@ def test_spd_fused_and_model_level():
     fused = m.fuse(v)
     after_f, _ = m.apply(fused, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(after_f), np.asarray(base), rtol=1e-4, atol=1e-4)
+
+
+def test_spd_stride2_full_model():
+    """enable_spd_stride2 on the flagship: all 11 top-level k3 s2 convs
+    (stem, 4 stride-2 RepVGG blocks incl. both branches, 3 grouped DWConv
+    sandwich taps, 3 head downsamples) execute in SPD form with train/eval/
+    fused outputs matching the plain schedule."""
+    from drone_yolo_tpu.nn.model import DetectionModel
+
+    m1 = DetectionModel("yolov8s-p2-repvgg-sf.yaml", nc=4)
+    v = m1.init(jax.random.PRNGKey(0), imgsz=64)
+    m2 = DetectionModel("yolov8s-p2-repvgg-sf.yaml", nc=4)
+    assert m2.enable_spd_stride2() == 11
+    assert m2.enable_spd_stride2() == 11  # idempotent
+
+    x = jnp.asarray(np.random.default_rng(3).random((2, 64, 64, 3), np.float32))
+    ev1, _ = m1.apply(v, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    ev2, _ = m2.apply(v, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(ev2), np.asarray(ev1), rtol=1e-4, atol=1e-4)
+
+    # train-mode (batch-stat BN) feature maps; unit-variance normalization at
+    # random init amplifies fp reassociation noise, hence the looser band
+    t1 = m1.apply(v, x, ctx=M.Ctx(train=True, dtype=jnp.float32, rng=jax.random.PRNGKey(0)))
+    t2 = m2.apply(v, x, ctx=M.Ctx(train=True, dtype=jnp.float32, rng=jax.random.PRNGKey(0)))
+    for a, b in zip(jax.tree_util.tree_leaves(t1), jax.tree_util.tree_leaves(t2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3)
+
+    fused = m1.fuse(v)  # fused RepVGG deploy kernels through the SPD path
+    f1, _ = m1.apply(fused, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    f2, _ = m2.apply(fused, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-4, atol=1e-4)

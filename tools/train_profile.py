@@ -46,6 +46,10 @@ def main():
     spd = bool(os.environ.get("PROF_SPD"))
     if spd:
         assert model.enable_spd_stem(), "stem not SPD-transformable"
+    spd2 = bool(os.environ.get("PROF_SPD2"))
+    if spd2:
+        n = model.enable_spd_stride2()
+        print(f"spd_stride2: {n} convs transformed")
     criterion = v8DetectionLoss(model)
 
     for batch in batches:

@@ -34,6 +34,8 @@ def build_step(model_name: str, imgsz: int, nc: int):
 
     model = DetectionModel(model_name, nc=nc)
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    if os.environ.get("PROF_SPD2"):
+        print("spd_stride2:", model.enable_spd_stride2())
     criterion = v8DetectionLoss(model)
 
     @jax.jit
