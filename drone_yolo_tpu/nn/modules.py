@@ -25,6 +25,7 @@ Reference file:line pointers are cited per class for the parity audit.
 from __future__ import annotations
 
 import math
+import os
 import zlib
 from dataclasses import dataclass, field
 from typing import Any
@@ -35,6 +36,8 @@ import numpy as np
 
 BN_EPS = 1e-3  # reference: initialize_weights sets BatchNorm2d eps=1e-3 (torch_utils.py)
 BN_MOMENTUM = 0.03  # reference: momentum=0.03
+
+_S2_KINDS = {(1, 0), (3, 1)}  # (k, p) combos covered by ops.conv_s2 (== S2_GRAD_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -133,11 +136,22 @@ class Module:
 # ---------------------------------------------------------------------------
 # Primitive ops
 # ---------------------------------------------------------------------------
+_S2_CUSTOM_GRAD = os.environ.get("DYT_S2GRAD", "1") != "0"  # DYT_S2GRAD=0 -> stock autodiff
+
+
 def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1):
     """NHWC conv with HWIO kernel. Output dtype == input dtype; the TPU MXU
     accumulates bf16 x bf16 in fp32 internally, so no explicit
     preferred_element_type is needed (and uniform dtypes keep the transpose
-    convs of the backward pass well-typed)."""
+    convs of the backward pass well-typed).
+
+    Stride-2 convs route through `ops.conv_s2.conv2d_s2` (identical forward,
+    custom layout-preserving VJP): XLA's dim-split stride-2 backward was 69%
+    of the flagship train step as relayout copies (ROUND3.md §2)."""
+    if _S2_CUSTOM_GRAD and s == 2 and d == 1 and (w.shape[0], p) in _S2_KINDS and w.shape[0] == w.shape[1]:
+        from drone_yolo_tpu.ops.conv_s2 import conv2d_s2
+
+        return conv2d_s2(x, w, p, g)
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

@@ -37,6 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # the tier stays auditable; `pytest -m smoke` must stay under ~5 min wall on a
 # 1-CPU box. Anything marked slow is excluded even if its module is listed.
 SMOKE_MODULES = {
+    "test_conv_s2",
     "test_nms_ops",
     "test_cocoeval",
     "test_tasks",
