@@ -136,7 +136,7 @@ class Module:
 # ---------------------------------------------------------------------------
 # Primitive ops
 # ---------------------------------------------------------------------------
-_S2_CUSTOM_GRAD = os.environ.get("DYT_S2GRAD", "1") != "0"  # DYT_S2GRAD=0 -> stock autodiff
+_S2_CUSTOM_GRAD = os.environ.get("DYT_S2GRAD", "0") == "1"  # DYT_S2GRAD=1 -> custom s2 VJP (opt-in)
 
 
 def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1):
@@ -145,9 +145,12 @@ def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1):
     preferred_element_type is needed (and uniform dtypes keep the transpose
     convs of the backward pass well-typed).
 
-    Stride-2 convs route through `ops.conv_s2.conv2d_s2` (identical forward,
-    custom layout-preserving VJP): XLA's dim-split stride-2 backward was 69%
-    of the flagship train step as relayout copies (ROUND3.md §2)."""
+    With DYT_S2GRAD=1 stride-2 convs route through `ops.conv_s2.conv2d_s2`
+    (identical forward, custom layout-preserving VJP) — an attack on XLA's
+    dim-split stride-2 backward (69% of the flagship train step as relayout
+    copies, ROUND3.md §2). Measured on-chip (tools/s2grad_probe.py) the
+    einsum formulation is 4-6x SLOWER than the stock backward in isolation,
+    so the dispatch is opt-in until a faster (Pallas) formulation lands."""
     if _S2_CUSTOM_GRAD and s == 2 and d == 1 and (w.shape[0], p) in _S2_KINDS and w.shape[0] == w.shape[1]:
         from drone_yolo_tpu.ops.conv_s2 import conv2d_s2
 
