@@ -37,11 +37,23 @@ tests/test_conv_s2.py and measured on-chip by tools/s2grad_probe.py.
 Reference behavior being replaced: torch's cudnn stride-2 wgrad/dgrad kernels
 (implicit in ultralytics Conv, reference conv.py:37); this is the TPU-native
 answer to the same hot path.
+
+MEASURED VERDICT (v5e, tools/s2grad_probe.py, b32 flagship shapes): both
+custom formulations LOSE to XLA's stock dim-split backward in isolation —
+the einsum form 4-6x slower (dy re-read per tap; tiny-output reductions), the
+Pallas fused kernel (ops/pallas_s2bwd.py, DYT_S2GRAD=pallas) ~10x slower
+(Mosaic lowers the strided in-VMEM selects on lane-padded small-Ci data as
+VPU shuffles that stream far below the ~250 GB/s HBM rate the stock copies
+get). Both are kept as correctness-tested opt-ins (DYT_S2GRAD=1 / =pallas);
+the default stays stock autodiff. The honest conclusion for ROUND3.md: on
+this chip/toolchain the dim-split relayouts around stride-2 backward are the
+best known schedule, and the flagship's layout-bound step cost is structural.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -185,6 +197,18 @@ def _fwd(x, w, p: int, g: int):
 def _bwd(p: int, g: int, res, dy):
     x, w = res
     k = w.shape[0]
+    if (
+        os.environ.get("DYT_S2GRAD") == "pallas"
+        and g == 1
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        from drone_yolo_tpu.ops.pallas_s2bwd import HAS_PALLAS, s2_bwd
+
+        if HAS_PALLAS:
+            dx, dw = s2_bwd(x, w, dy, k=k)
+            return dx, dw.astype(w.dtype)
     dw = _wgrad(x, dy, k, p, g, w.dtype)
     dx = _dxgrad(dy, w, k, p, g, x.shape[1], x.shape[2], x.dtype)
     return dx, dw

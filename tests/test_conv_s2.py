@@ -96,3 +96,21 @@ def test_full_model_grads_match_stock_path(monkeypatch):
     flat_c, _ = jax.tree_util.tree_flatten(g_custom)
     for a, b in zip(flat_s, flat_c):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_s2_bwd_interpret_matches_stock():
+    """ops/pallas_s2bwd.py fused (dx, dw) kernel vs stock autodiff, interpret
+    mode (the TPU compile path is exercised by tools/s2grad_probe.py)."""
+    from drone_yolo_tpu.ops.pallas_s2bwd import HAS_PALLAS, s2_bwd
+
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    for k, p, ci, co, h, wd in [(3, 1, 8, 16, 16, 16), (3, 1, 5, 7, 12, 20), (1, 0, 8, 16, 16, 16), (3, 1, 3, 8, 8, 8)]:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, h, wd, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, ci, co)) * 0.1, jnp.float32)
+        dy = jnp.asarray(rng.standard_normal((2, h // 2, wd // 2, co)), jnp.float32)
+        gx, gw = jax.grad(lambda x, w: jnp.sum(_stock(x, w, p, 1) * dy), (0, 1))(x, w)
+        dx, dw = s2_bwd(x, w, dy, k=k, interpret=True)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(gx), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(gw), rtol=1e-4, atol=1e-3)

@@ -11,7 +11,11 @@ through:
   a) the stock jax.lax.conv_general_dilated autodiff path
   b) custom VJP: wgrad = 9 strided-slice einsums (MXU dots, no dim-split),
      dx = 4 parity-class stride-1 convs over dy + one interleave transpose
-  c) (optional) b with wgrad only / dx only, to attribute the win
+  c) PROBE_IMPL=pallas: the fused Pallas kernel (ops/pallas_s2bwd.py)
+
+Measured (v5e, b32): stock wins — einsum 4-6x slower, pallas ~10x slower;
+see the conv_s2.py module docstring for the analysis. The probe stays as the
+regression harness for future formulations.
 
 Run: python tools/s2grad_probe.py
 """
@@ -67,7 +71,13 @@ def main():
             return jax.jit(jax.grad(f, argnums=(0, 1)))
 
         g_ref = loss_of(conv_ref)
-        g_cus = loss_of(lambda x, w: conv2d_s2(x, w, 1))
+        if os.environ.get("PROBE_IMPL") == "pallas":
+            from drone_yolo_tpu.ops.pallas_s2bwd import s2_bwd
+
+            def g_cus(x, w):
+                return jax.jit(lambda x, w: s2_bwd(x, w, dy, k=3))(x, w)
+        else:
+            g_cus = loss_of(lambda x, w: conv2d_s2(x, w, 1))
 
         # numerics check (fp32 path on small slice)
         dx_r, dw_r = g_ref(x, w)

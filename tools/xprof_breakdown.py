@@ -170,6 +170,13 @@ def main():
         _ = np.asarray(total)
 
     per_op, total_ns = collect(trace_dir)
+    dump = os.environ.get("PROF_DUMP")
+    if dump:
+        import json
+
+        with open(dump, "w") as f:
+            json.dump({n: v for n, v in per_op.items()}, f)
+        print(f"dumped {len(per_op)} ops to {dump}")
     print(f"device total in trace: {total_ns / 1e6:.2f} ms (2 steps)")
     cats = collections.Counter()
     for name, ns in per_op.items():
