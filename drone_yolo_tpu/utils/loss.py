@@ -102,12 +102,16 @@ class v8DetectionLoss:
         anchor_points = jnp.asarray(anchor_points)  # (A, 2) grid units
         stride_tensor = jnp.asarray(stride_tensor)  # (A, 1)
 
-        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        # keep the (B, A, no) head tensor in the compute dtype (bf16 in training,
+        # like the reference under AMP) and fuse the fp32 upcast into each
+        # consumer: materializing it fp32 costs ~3 extra 300 MB passes/step at
+        # 34k anchors (xprof: add_add_fusion f32[32,34000,64], ROUND3.md)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
         pred_distri, pred_scores = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
 
         # decode boxes in grid units (reference bbox_decode, loss.py:197)
         a = pred_distri.shape[1]
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ jnp.arange(
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ jnp.arange(
             self.reg_max, dtype=jnp.float32
         )
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # (B, A, 4) xyxy grid units
@@ -119,7 +123,7 @@ class v8DetectionLoss:
         gt_bboxes = gt_bboxes * mask_gt[..., None]
 
         _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
             anchor_points * stride_tensor,
             gt_labels,
@@ -129,7 +133,7 @@ class v8DetectionLoss:
         target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
 
         # cls: BCE over all anchors/classes (reference loss.py:225)
-        loss_cls = jnp.sum(bce_with_logits(pred_scores, target_scores)) / target_scores_sum
+        loss_cls = jnp.sum(bce_with_logits(pred_scores.astype(jnp.float32), target_scores)) / target_scores_sum
 
         # box + dfl on foreground anchors (reference BboxLoss, loss.py:65)
         target_bboxes = target_bboxes / stride_tensor[None]
@@ -138,7 +142,9 @@ class v8DetectionLoss:
         loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
 
         target_ltrb = bbox2dist(anchor_points[None], target_bboxes, self.reg_max - 1)  # (B, A, 4)
-        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb, self.reg_max)[..., 0]
+        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), target_ltrb, self.reg_max)[
+            ..., 0
+        ]
         loss_dfl = jnp.sum(dfl_elem * weight) / target_scores_sum
 
         items = jnp.stack(
@@ -154,10 +160,11 @@ class v8DetectionLoss:
         anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
         anchor_points = jnp.asarray(anchor_points)
         stride_tensor = jnp.asarray(stride_tensor)
-        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        # bf16-materialized head tensor, fp32 fused into consumers (see __call__)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
         pred_distri, pred_scores = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
         a = pred_distri.shape[1]
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ jnp.arange(
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ jnp.arange(
             self.reg_max, dtype=jnp.float32
         )
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
@@ -166,7 +173,7 @@ class v8DetectionLoss:
         gt_bboxes = targets["bboxes"].astype(jnp.float32) * targets["mask"].astype(jnp.float32)[..., None]
         mask_gt = targets["mask"].astype(jnp.float32)
         t_labels, t_bboxes, t_scores, fg_mask, t_gt_idx = self.assigner(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
             anchor_points * stride_tensor,
             gt_labels,
@@ -174,13 +181,13 @@ class v8DetectionLoss:
             mask_gt,
         )
         tss = jnp.maximum(jnp.sum(t_scores), 1.0)
-        loss_cls = jnp.sum(bce_with_logits(pred_scores, t_scores)) / tss
+        loss_cls = jnp.sum(bce_with_logits(pred_scores.astype(jnp.float32), t_scores)) / tss
         t_bboxes_g = t_bboxes / stride_tensor[None]
         weight = jnp.sum(t_scores, axis=-1) * fg_mask
         iou = bbox_iou(pred_bboxes, t_bboxes_g, xywh=False, CIoU=True)
         loss_box = jnp.sum((1.0 - iou) * weight) / tss
         t_ltrb = bbox2dist(anchor_points[None], t_bboxes_g, self.reg_max - 1)
-        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), t_ltrb, self.reg_max)[..., 0]
+        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), t_ltrb, self.reg_max)[..., 0]
         loss_dfl = jnp.sum(dfl_elem * weight) / tss
         return {
             "b": b,
@@ -359,10 +366,11 @@ class v8OBBLoss(v8DetectionLoss):
         anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
         anchor_points = jnp.asarray(anchor_points)
         stride_tensor = jnp.asarray(stride_tensor)
-        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        # bf16-materialized head tensor, fp32 fused into consumers (see __call__)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
         pred_distri, pred_scores = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
         a = pred_distri.shape[1]
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ jnp.arange(
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ jnp.arange(
             self.reg_max, dtype=jnp.float32
         )
         pred_rboxes = dist2rbox(dist, pred_angle.astype(jnp.float32), anchor_points[None])  # grid units
@@ -374,7 +382,7 @@ class v8OBBLoss(v8DetectionLoss):
             [pred_rboxes[..., :4] * stride_tensor[None], pred_rboxes[..., 4:]], axis=-1
         )
         _, t_rboxes, t_scores, fg_mask, _ = self.assigner(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
             jax.lax.stop_gradient(pred_rboxes_px),
             anchor_points * stride_tensor,
             gt_labels,
@@ -382,7 +390,7 @@ class v8OBBLoss(v8DetectionLoss):
             mask_gt,
         )
         tss = jnp.maximum(jnp.sum(t_scores), 1.0)
-        loss_cls = jnp.sum(bce_with_logits(pred_scores, t_scores)) / tss
+        loss_cls = jnp.sum(bce_with_logits(pred_scores.astype(jnp.float32), t_scores)) / tss
 
         t_rboxes_g = jnp.concatenate([t_rboxes[..., :4] / stride_tensor[None], t_rboxes[..., 4:]], axis=-1)
         weight = jnp.sum(t_scores, axis=-1) * fg_mask
@@ -394,7 +402,7 @@ class v8OBBLoss(v8DetectionLoss):
         cxcy, wh = t_rboxes_g[..., :2], t_rboxes_g[..., 2:4]
         t_xyxy = jnp.concatenate([cxcy - wh / 2, cxcy + wh / 2], axis=-1)
         t_ltrb = bbox2dist(anchor_points[None], t_xyxy, self.reg_max - 1)
-        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), t_ltrb, self.reg_max)[..., 0]
+        dfl_elem = df_loss(pred_distri.reshape(b, a, 4, self.reg_max).astype(jnp.float32), t_ltrb, self.reg_max)[..., 0]
         loss_dfl = jnp.sum(dfl_elem * weight) / tss
 
         items = jnp.stack(
