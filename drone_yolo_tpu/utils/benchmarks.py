@@ -134,3 +134,69 @@ class ProfileModels:
             rows.append({"model": str(p), "latency_ms": round(dt * 1e3, 2), "img_per_s": round(self.batch / dt, 1), "params": n_params})
             LOGGER.info(rows[-1])
         return rows
+
+
+class RF100Benchmark:
+    """Multi-dataset val benchmark (reference utils/benchmarks.py:203 RF100Benchmark).
+
+    The reference downloads the Roboflow-100 suite and scrapes val log lines;
+    this environment has zero egress, so datasets come from a local manifest
+    instead (one dataset-yaml path — or a directory containing data.yaml — per
+    line), and `evaluate` reads metrics straight from the validator instead of
+    parsing logs. The surface (parse_dataset/fix_yaml/evaluate, eval_log
+    accumulation of per-dataset mAP50) mirrors the reference so RF100-style
+    sweeps port directly once the datasets are on disk.
+    """
+
+    def __init__(self):
+        self.ds_names = []
+        self.ds_cfg_list = []
+        self.val_metrics = ["class", "images", "targets", "precision", "recall", "map50", "map95"]
+
+    def set_key(self, api_key):  # noqa: ARG002 - kept for surface parity
+        raise RuntimeError(
+            "Roboflow download is unavailable in this environment (zero egress); "
+            "provide datasets locally and call parse_dataset(manifest)"
+        )
+
+    def parse_dataset(self, ds_link_txt="datasets_links.txt"):
+        """Read a local manifest: each non-empty line is a dataset yaml path or
+        a directory containing data.yaml. Returns (names, cfg_paths)."""
+        from pathlib import Path
+
+        for line in Path(ds_link_txt).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = Path(line)
+            if p.is_dir():
+                p = p / "data.yaml"
+            if not p.exists():
+                LOGGER.warning(f"RF100Benchmark: skipping missing dataset '{line}'")
+                continue
+            self.ds_names.append(p.parent.name or p.stem)
+            self.ds_cfg_list.append(p.resolve())
+        return self.ds_names, self.ds_cfg_list
+
+    @staticmethod
+    def fix_yaml(path):
+        """Normalize train/val paths inside a dataset yaml (reference :266)."""
+        from drone_yolo_tpu.utils import yaml_load, yaml_save
+
+        data = yaml_load(path)
+        data["train"] = "train/images"
+        data["val"] = "valid/images"
+        yaml_save(path, data)
+
+    def evaluate(self, yaml_path, model, eval_log_file, list_ind, imgsz: int = 640):
+        """Validate `model` (path or facade) on one dataset and append its
+        mAP50 to the eval log. Returns the mAP50 (reference :282 semantics,
+        metrics taken from the validator instead of scraped logs)."""
+        from drone_yolo_tpu import YOLO
+
+        m = model if hasattr(model, "val") else YOLO(model)
+        res = m.val(data=str(yaml_path), imgsz=imgsz, verbose=False, plots=False)
+        map50 = float(res.box.map50)
+        with open(eval_log_file, "a") as f:
+            f.write(f"{self.ds_names[list_ind]}: {map50}\n")
+        return map50

@@ -147,3 +147,38 @@ def test_triton_remote_model():
         np.testing.assert_allclose(np.asarray(b(x)), x * 2)
     finally:
         srv.shutdown()
+
+
+def test_rf100_benchmark_local_manifest(tmp_path):
+    """RF100Benchmark offline analog: manifest parse -> fix_yaml -> per-dataset
+    val with mAP50 accumulation into the eval log (reference benchmarks.py:203)."""
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.utils import yaml_load
+    from drone_yolo_tpu.utils.benchmarks import RF100Benchmark
+
+    y1 = make_dataset(tmp_path / "ds_a", n_train=2, n_val=2, size=96, nc=4, seed=0)
+    y2 = make_dataset(tmp_path / "ds_b", n_train=2, n_val=2, size=96, nc=4, seed=1)
+    manifest = tmp_path / "datasets_links.txt"
+    manifest.write_text(f"{y1}\n# comment\n{tmp_path / 'missing'}\n{y2}\n")
+
+    rf = RF100Benchmark()
+    names, cfgs = rf.parse_dataset(str(manifest))
+    assert len(names) == len(cfgs) == 2  # missing entry skipped
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        rf.set_key("k")  # zero-egress: download path must refuse loudly
+
+    # fix_yaml normalizes split paths like the reference
+    fixme = tmp_path / "fix.yaml"
+    fixme.write_text("train: weird/path\nval: другое\nnames: {0: a}\n")
+    RF100Benchmark.fix_yaml(fixme)
+    fixed = yaml_load(fixme)
+    assert fixed["train"] == "train/images" and fixed["val"] == "valid/images"
+
+    m = YOLO("yolov8n.yaml")
+    log = tmp_path / "eval.txt"
+    v = rf.evaluate(cfgs[0], m, str(log), 0, imgsz=64)
+    assert isinstance(v, float)
+    assert log.read_text().startswith("ds_a:")
