@@ -1380,6 +1380,60 @@ def dfl_expectation(box_logits, reg_max: int = 16):
     return jnp.einsum("...r,r->...", p, jnp.arange(reg_max, dtype=jnp.float32))
 
 
+_FUSE_HEAD_TAIL = os.environ.get("DYT_FUSE_HEAD_TAIL", "0")  # 0|auto|1 (opt-in, see _branch_pair)
+
+
+def _tail_fusible(m2, m3) -> bool:
+    t2, t3 = m2.ms[-1], m3.ms[-1]
+    return (
+        isinstance(t2, Conv2dRaw)
+        and isinstance(t3, Conv2dRaw)
+        and t2.k == t3.k == 1
+        and t2.s == t3.s == 1
+        and t2.g == t3.g == 1
+        and t2.bias
+        and t3.bias
+        and (_FUSE_HEAD_TAIL == "1" or (_FUSE_HEAD_TAIL == "auto" and t3.c2 < 16))
+    )
+
+
+def _branch_pair(m2, v2, m3, v3, x, ctx: Ctx):
+    """concat(box_branch(x), cls_branch(x)) with a layout-aware tail fusion.
+
+    When the class count is small (nc < 16, e.g. drone datasets), the cls
+    tail's (B, H, W, nc) map is lane-padded up to 32x in HBM and XLA demotes
+    the producing 1x1 conv to a loop fusion (measured 4 ms/level at nc=4 b256,
+    ROUND3.md). Fusing the two 1x1 tail convs into ONE block-diagonal conv
+    over the concatenated branch features emits the (B, H, W, 4*reg_max+nc)
+    map directly — exact up to fp32 accumulation order (the cross blocks are
+    zeros; only the partial-sum tree changes), parameters untouched.
+
+    MEASURED (v5e): no net win — nc=4 b256 inference 90.4 -> 93.2 ms/step (the
+    concat pushes the wide branch's SiLU into a hotter fusion), flagship b32
+    train 162.6 -> 161.9 ms (noise). The padded narrow-map writes evidently
+    overlap well in XLA's original schedule. Kept opt-in via
+    DYT_FUSE_HEAD_TAIL=auto (nc<16) or =1 (always); default 0."""
+    if not _tail_fusible(m2, m3):
+        box = m2(v2, x, ctx)
+        cls = m3(v3, x, ctx)
+        return jnp.concatenate([box, cls], axis=-1)
+    f2, f3 = x, x
+    for i, mod in enumerate(m2.ms[:-1]):
+        f2 = mod(v2["m"][str(i)], f2, ctx)
+    for i, mod in enumerate(m3.ms[:-1]):
+        f3 = mod(v3["m"][str(i)], f3, ctx)
+    p2 = v2["m"][str(len(m2.ms) - 1)]
+    p3 = v3["m"][str(len(m3.ms) - 1)]
+    w2, w3 = p2["kernel"], p3["kernel"]  # (1, 1, cin, cout)
+    c2i, c2o = w2.shape[2], w2.shape[3]
+    c3i, c3o = w3.shape[2], w3.shape[3]
+    w = jnp.zeros((1, 1, c2i + c3i, c2o + c3o), w2.dtype)
+    w = w.at[:, :, :c2i, :c2o].set(w2).at[:, :, c2i:, c2o:].set(w3)
+    b = jnp.concatenate([p2["bias"], p3["bias"]])
+    f = jnp.concatenate([f2, f3], axis=-1).astype(ctx.dtype)
+    return (conv2d(f, w, 1, 0, 1, 1) + b).astype(ctx.dtype)
+
+
 class Detect(Module):
     """Anchor-free decoupled detection head (reference head.py:21).
 
@@ -1424,9 +1478,7 @@ class Detect(Module):
         """Per-level (B, H, W, 4*reg_max + nc) prediction maps."""
         out = []
         for i, x in enumerate(xs):
-            box = self.cv2[i](v["cv2"][str(i)], x, ctx)
-            cls = self.cv3[i](v["cv3"][str(i)], x, ctx)
-            out.append(jnp.concatenate([box, cls], axis=-1))
+            out.append(_branch_pair(self.cv2[i], v["cv2"][str(i)], self.cv3[i], v["cv3"][str(i)], x, ctx))
         return out
 
     def decode(self, maps):
@@ -1486,9 +1538,9 @@ class v10Detect(Detect):
         out = []
         for i, x in enumerate(xs):
             xd = jax.lax.stop_gradient(x)
-            box = self.one2one_cv2[i](v["one2one_cv2"][str(i)], xd, ctx)
-            cls = self.one2one_cv3[i](v["one2one_cv3"][str(i)], xd, ctx)
-            out.append(jnp.concatenate([box, cls], axis=-1))
+            out.append(
+                _branch_pair(self.one2one_cv2[i], v["one2one_cv2"][str(i)], self.one2one_cv3[i], v["one2one_cv3"][str(i)], xd, ctx)
+            )
         return out
 
     def __call__(self, v, xs, ctx: Ctx):

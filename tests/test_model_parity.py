@@ -169,3 +169,29 @@ def test_train_mode_maps_parity():
         np.testing.assert_allclose(
             np.asarray(om).transpose(0, 3, 1, 2), rm_.numpy(), rtol=1e-3, atol=1e-3
         )
+
+
+def test_head_tail_fusion_bit_exact(monkeypatch):
+    """DYT_FUSE_HEAD_TAIL block-diagonal head-tail conv == separate branches
+    up to fp32 accumulation order (the fused dot contracts 192 terms where the
+    split form contracts 64/128, so partial-sum trees differ)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drone_yolo_tpu.nn import modules as M
+    from drone_yolo_tpu.nn.model import DetectionModel
+
+    m = DetectionModel("yolov8n.yaml", nc=4)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3), np.float32))
+
+    monkeypatch.setattr(M, "_FUSE_HEAD_TAIL", "0")
+    ref_eval = m.apply(v, x, ctx=M.Ctx(train=False, dtype=jnp.float32))[0]
+    ref_train = m.apply(v, x, ctx=M.Ctx(train=True, dtype=jnp.float32))
+    monkeypatch.setattr(M, "_FUSE_HEAD_TAIL", "auto")
+    fz_eval = m.apply(v, x, ctx=M.Ctx(train=False, dtype=jnp.float32))[0]
+    fz_train = m.apply(v, x, ctx=M.Ctx(train=True, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(fz_eval), np.asarray(ref_eval), rtol=1e-4, atol=1e-5)
+    for a, b in zip(ref_train, fz_train):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
