@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import random
+import threading
 
 import numpy as np
 
@@ -52,6 +53,29 @@ class Mosaic:
         self.p = p
         self.n = n
         self.border = (-imgsz // 2, -imgsz // 2)
+        self._tls = threading.local()
+
+    def _canvas(self, size: int):
+        """Reused per-thread canvas: a fresh (2s,2s,3) np.full per sample costs
+        more in page faults than the fill itself once the decode buffer holds
+        memory. Safe to reuse because RandomPerspective always warps the mosaic
+        canvas into a new array (border != 0) before the next sample starts on
+        this thread."""
+        c = getattr(self._tls, "canvas", None)
+        if c is None or c.shape[0] != size:
+            c = np.empty((size, size, 3), np.uint8)
+            self._tls.canvas = c
+        c.fill(114)
+        return c
+
+    def _pick(self, k: int):
+        """Companion indices from the dataset's decoded-image buffer (reference
+        augment.py:519 get_indexes: random.choices from dataset.buffer) —
+        buffered companions skip the JPEG decode; random fallback pre-warmup."""
+        buf = getattr(self.dataset, "buffer", None)
+        if buf:
+            return random.choices(list(buf), k=k)
+        return [random.randint(0, len(self.dataset) - 1) for _ in range(k)]
 
     def __call__(self, labels):
         if random.random() > self.p:
@@ -61,10 +85,9 @@ class Mosaic:
         s = self.imgsz
         yc = int(random.uniform(s // 2, 2 * s - s // 2))
         xc = int(random.uniform(s // 2, 2 * s - s // 2))
-        indices = [random.randint(0, len(self.dataset) - 1) for _ in range(3)]
-        mix = [labels] + [self.dataset.get_sample(i) for i in indices]
+        mix = [labels] + [self.dataset.get_sample(i) for i in self._pick(3)]
 
-        canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        canvas = self._canvas(s * 2)
         cls_all, box_all, seg_all, kpt_all = [], [], [], []
         # open-vocabulary samples carry per-image "texts": merge into a union
         # vocabulary and remap each sample's local cls ids into it
@@ -137,9 +160,8 @@ class Mosaic:
         3s canvas, each image top-left-anchored in its cell, center-cropped to
         the same 2s output geometry as the 4-mosaic."""
         s = self.imgsz
-        indices = [random.randint(0, len(self.dataset) - 1) for _ in range(8)]
-        mix = [labels] + [self.dataset.get_sample(i) for i in indices]
-        canvas = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+        mix = [labels] + [self.dataset.get_sample(i) for i in self._pick(8)]
+        canvas = self._canvas(s * 3)
         off = s // 2  # center-crop offset: 3s canvas -> 2s output
         cls_all, box_all, seg_all, kpt_all = [], [], [], []
         for i, lb in enumerate(mix):

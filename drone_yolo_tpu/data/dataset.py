@@ -15,12 +15,13 @@ import glob
 import math
 import os
 import random
+import threading
 from pathlib import Path
 
 import numpy as np
 
 from drone_yolo_tpu.data.augment import Compose, LetterBoxT, v8_transforms
-from drone_yolo_tpu.data.utils import IMG_FORMATS, get_hash, img2label_paths, verify_image_label
+from drone_yolo_tpu.data.utils import IMG_FORMATS, get_hash, img2label_paths, imread_rgb, verify_image_label
 from drone_yolo_tpu.utils import LOGGER, NUM_THREADS, TQDM, colorstr
 
 DATASET_CACHE_VERSION = "1.0"
@@ -74,6 +75,13 @@ class YOLODataset:
         self.hyp = hyp
         self.cache = cache
         self._ram: dict = {}
+        # mosaic buffer (reference base.py:145,161-186): recently-decoded images
+        # stay resident and mosaic companions are drawn from them, cutting JPEG
+        # decodes from ~4/sample to ~1/sample on the train path
+        self.buffer: list = []
+        self._buffer_ims: dict = {}
+        self._buffer_lock = threading.Lock()
+        self.max_buffer_length = min(self.ni, batch_size * 8, 1000) if augment else 0
         self.rect = rect and not augment
         self.batch_shapes = None
         self.batch = None
@@ -218,28 +226,42 @@ class YOLODataset:
 
     # -- sample access ---------------------------------------------------------
     def load_image(self, i):
-        """Read image i (RGB HWC uint8), resized so long side == imgsz (reference base.py:161)."""
+        """Read image i (RGB HWC uint8), resized so long side == imgsz (reference base.py:161).
+
+        Train path keeps decoded images in a bounded FIFO buffer (reference
+        base.py:176-180) so mosaic companions (drawn from `self.buffer`) skip
+        the JPEG decode; downstream transforms never mutate images in place,
+        so sharing the buffered array is safe.
+        """
         if i in self._ram:
             return self._ram[i]
+        im = self._buffer_ims.get(i)
+        if im is not None:
+            return im
         import cv2
 
         path = self.labels[i]["im_file"]
-        im = cv2.imread(path)
+        im = imread_rgb(path)
         if im is None:
             raise FileNotFoundError(f"Image not found {path}")
-        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
         h0, w0 = im.shape[:2]
         if self.stretch:  # RT-DETR: square stretch (reference base.py rect_mode=False)
             if (h0, w0) != (self.imgsz, self.imgsz):
                 im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-            if self.cache:
-                self._ram[i] = im
-            return im
-        r = self.imgsz / max(h0, w0)
-        if r != 1:
-            im = cv2.resize(im, (min(math.ceil(w0 * r), self.imgsz), min(math.ceil(h0 * r), self.imgsz)), interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
+        else:
+            r = self.imgsz / max(h0, w0)
+            if r != 1:
+                im = cv2.resize(im, (min(math.ceil(w0 * r), self.imgsz), min(math.ceil(h0 * r), self.imgsz)), interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
         if self.cache:
             self._ram[i] = im
+        if self.max_buffer_length:
+            with self._buffer_lock:
+                if not self.cache:
+                    self._buffer_ims[i] = im
+                self.buffer.append(i)
+                if len(self.buffer) > self.max_buffer_length:
+                    j = self.buffer.pop(0)
+                    self._buffer_ims.pop(j, None)
         return im
 
     def get_sample(self, i):
@@ -375,7 +397,7 @@ class ClassificationDataset:
         import cv2
 
         path, label = self.samples[i]
-        im = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        im = imread_rgb(path)
         if self.augment:
             # RandomResizedCrop-style: random scale/ratio crop then resize
             h, w = im.shape[:2]

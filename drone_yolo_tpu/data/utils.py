@@ -20,6 +20,20 @@ IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp",
 DATASETS_DIR = Path(os.environ.get("YOLO_DATASETS_DIR", Path.cwd() / "datasets"))
 
 
+def imread_rgb(path):
+    """Decode an image file straight to RGB (reference base.py:161 imread+cvtColor).
+
+    cv2>=4.10 decodes RGB natively (IMREAD_COLOR_RGB), skipping the BGR->RGB
+    copy pass; older cv2 falls back to imread+cvtColor. Returns None on failure.
+    """
+    import cv2
+
+    if hasattr(cv2, "IMREAD_COLOR_RGB"):
+        return cv2.imread(str(path), cv2.IMREAD_COLOR_RGB)
+    im = cv2.imread(str(path))
+    return None if im is None else cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+
+
 def img2label_paths(img_paths):
     """…/images/xx.jpg -> …/labels/xx.txt (reference data/utils.py:48)."""
     sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"

@@ -68,6 +68,7 @@ class Exporter(CallbackMixin):
         if files:
             import cv2
 
+            from drone_yolo_tpu.data.utils import imread_rgb
             from drone_yolo_tpu.ops.letterbox import letterbox_np
 
             for i in range(0, min(len(files), n * batch), batch):
@@ -76,7 +77,7 @@ class Exporter(CallbackMixin):
                     break
                 imgs = []
                 for f in chunk:
-                    im = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+                    im = imread_rgb(f)
                     imgs.append(letterbox_np(im, (imgsz, imgsz))[0].astype(np.float32) / 255.0)
                 yield [np.stack(imgs)]
             return

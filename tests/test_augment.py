@@ -74,6 +74,41 @@ def test_collate_padding(dataset):
         assert (batch["bboxes"][i, n:] == 0).all()
 
 
+def test_mosaic_buffer_cuts_decodes(tmp_path):
+    """Mosaic companions come from the decoded-image buffer (reference
+    base.py:176-180): one epoch of a mosaic dataset decodes each image ~once,
+    not ~4x, and the buffer is capped at min(ni, 8*batch, 1000)."""
+    import cv2
+
+    yaml_path = make_dataset(tmp_path, n_train=12, n_val=2, size=128, nc=3, seed=5)
+    ds = YOLODataset(str(tmp_path / "images" / "train"), imgsz=96, augment=True, hyp=_hyp(), data={"nc": 3}, batch_size=4)
+    assert ds.max_buffer_length == 12  # min(ni=12, 8*4=32, 1000)
+
+    real_imread = cv2.imread
+    counter = {"n": 0}
+
+    def counting_imread(path, *a, **kw):
+        counter["n"] += 1
+        return real_imread(path, *a, **kw)
+
+    cv2.imread = counting_imread
+    try:
+        import random
+
+        random.seed(0)
+        for i in range(len(ds)):
+            _ = ds[i]
+    finally:
+        cv2.imread = real_imread
+    # every companion after warmup is a buffer hit: ~1 decode/sample, not 4
+    assert counter["n"] <= len(ds) + 3, counter["n"]
+    assert len(ds.buffer) <= ds.max_buffer_length
+    # val path keeps no buffer
+    ds_val = YOLODataset(str(tmp_path / "images" / "val"), imgsz=96, augment=False, data={"nc": 3}, batch_size=4)
+    _ = ds_val[0]
+    assert ds_val.max_buffer_length == 0 and not ds_val.buffer
+
+
 def test_clip_sample_drops_empty():
     s = {
         "img": np.zeros((32, 32, 3), np.uint8),
