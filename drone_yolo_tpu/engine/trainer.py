@@ -343,17 +343,21 @@ class BaseTrainer(CallbackMixin):
             self.train_loader.set_epoch(epoch)
 
             tloss = None
+            n_done = 0
+            pending_items = None  # one-step-delayed fetch: shipping batch i+1 overlaps step i on device
             pbar = TQDM(enumerate(self.train_loader), total=self.nb, desc=f"{epoch + 1}/{self.epochs}")
             for i, batch in pbar:
                 self.run_callbacks("on_train_batch_start")
                 lr_w, lr_b, mom = self._warmup_hyp(ni, epoch)
                 dev_batch = self.preprocess_batch(batch)
                 target_sz = self.scale_buckets[np.random.randint(len(self.scale_buckets))] if len(self.scale_buckets) > 1 else self.scale_buckets[0]
-                self.state, loss, items = self.train_step(
+                if pending_items is not None:
+                    items = np.asarray(pending_items)  # blocks on step i-1 only
+                    tloss = items if tloss is None else (tloss * n_done + items) / (n_done + 1)
+                    n_done += 1
+                self.state, loss, pending_items = self.train_step(
                     self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom), target_sz=target_sz
                 )
-                items = np.asarray(items)
-                tloss = items if tloss is None else (tloss * i + items) / (i + 1)
                 if self.args.plots and ni < 3 and "bboxes" in batch:
                     from drone_yolo_tpu.utils.plotting import plot_images
 
@@ -369,11 +373,15 @@ class BaseTrainer(CallbackMixin):
                     )
                 ni += 1
                 self.lr_current = lr_w
-                if hasattr(pbar, "set_description"):
+                if tloss is not None and hasattr(pbar, "set_description"):
                     pbar.set_description(
                         f"{epoch + 1}/{self.epochs} " + " ".join(f"{n}={v:.3f}" for n, v in zip(self.loss_names, tloss))
                     )
                 self.run_callbacks("on_train_batch_end")
+
+            if pending_items is not None:  # flush the last step's metrics
+                items = np.asarray(pending_items)
+                tloss = items if tloss is None else (tloss * n_done + items) / (n_done + 1)
 
             self.label_loss_items_dict = {f"train/{n}": float(v) for n, v in zip(self.loss_names, tloss if tloss is not None else np.zeros(len(self.loss_names)))}
             self.label_loss_items_dict["lr"] = self.lr_current if self.nb else 0.0
