@@ -21,6 +21,38 @@ import numpy as np
 from drone_yolo_tpu.ops.letterbox import letterbox_np
 from drone_yolo_tpu.utils import LOGGER
 
+# -- per-sample deterministic RNG ---------------------------------------------
+# The reference seeds each dataloader worker process (data/build.py:89
+# seed_worker), making runs reproducible for a FIXED num_workers. Our loader
+# uses threads sharing one interpreter, so module-global `random` draws would
+# interleave nondeterministically across workers. Instead every sample seeds a
+# per-thread RNG from (seed, epoch, index) — augmentation is then reproducible
+# independent of worker count and scheduling (stronger than the reference).
+_thread_rng = threading.local()
+
+
+def _rng() -> random.Random:
+    r = getattr(_thread_rng, "rng", None)
+    if r is None:
+        r = random.Random(random.getrandbits(64))
+        _thread_rng.rng = r
+    return r
+
+
+def _np_rng() -> np.random.Generator:
+    g = getattr(_thread_rng, "np_rng", None)
+    if g is None:
+        g = np.random.default_rng(random.getrandbits(64))
+        _thread_rng.np_rng = g
+    return g
+
+
+def seed_sample(seed: int, epoch: int, index: int):
+    """Deterministically seed this thread's augmentation RNG for one sample."""
+    h = (int(seed) * 1_000_003 + int(epoch)) * 1_000_003 + int(index)
+    _rng().seed(h)
+    _thread_rng.np_rng = np.random.default_rng(h & 0x7FFFFFFFFFFFFFFF)
+
 
 class Compose:
     def __init__(self, transforms):
@@ -69,22 +101,34 @@ class Mosaic:
         return c
 
     def _pick(self, k: int):
-        """Companion indices from the dataset's decoded-image buffer (reference
-        augment.py:519 get_indexes: random.choices from dataset.buffer) —
-        buffered companions skip the JPEG decode; random fallback pre-warmup."""
+        """Companion indices, three sources in priority order:
+
+        1. the loader-set *sample window* — the trailing W indices of the epoch
+           permutation before this sample's position. Deterministic given
+           (seed, epoch), independent of worker scheduling, and hot in the
+           decode buffer because those indices were just processed;
+        2. the decoded-image buffer (reference augment.py:519 get_indexes:
+           random.choices from dataset.buffer) — recency-correlated like the
+           reference, but scheduling-dependent under threaded workers;
+        3. uniform random (direct dataset[i] access outside a loader).
+        """
+        win = getattr(self.dataset, "sample_window", None)
+        win = win() if callable(win) else None
+        if win is not None and len(win):
+            return [int(x) for x in _rng().choices(list(win), k=k)]
         buf = getattr(self.dataset, "buffer", None)
         if buf:
-            return random.choices(list(buf), k=k)
-        return [random.randint(0, len(self.dataset) - 1) for _ in range(k)]
+            return _rng().choices(list(buf), k=k)
+        return [_rng().randint(0, len(self.dataset) - 1) for _ in range(k)]
 
     def __call__(self, labels):
-        if random.random() > self.p:
+        if _rng().random() > self.p:
             return labels
         if self.n == 9:
             return self._mosaic9(labels)
         s = self.imgsz
-        yc = int(random.uniform(s // 2, 2 * s - s // 2))
-        xc = int(random.uniform(s // 2, 2 * s - s // 2))
+        yc = int(_rng().uniform(s // 2, 2 * s - s // 2))
+        xc = int(_rng().uniform(s // 2, 2 * s - s // 2))
         mix = [labels] + [self.dataset.get_sample(i) for i in self._pick(3)]
 
         canvas = self._canvas(s * 2)
@@ -207,14 +251,14 @@ class MixUp:
         self.p = p
 
     def __call__(self, labels):
-        if random.random() > self.p:
+        if _rng().random() > self.p:
             return labels
-        other = self.dataset.get_sample(random.randint(0, len(self.dataset) - 1))
+        other = self.dataset.get_sample(_rng().randint(0, len(self.dataset) - 1))
         if self.pre_transform is not None:
             other = self.pre_transform(other)
         if other["img"].shape != labels["img"].shape:
             return labels
-        r = np.random.beta(32.0, 32.0)
+        r = float(_np_rng().beta(32.0, 32.0))
         labels["img"] = (labels["img"] * r + other["img"] * (1 - r)).astype(np.uint8)
         labels["cls"] = np.concatenate([labels["cls"], other["cls"]])
         labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]])
@@ -231,7 +275,7 @@ class CopyPaste:
 
     def __call__(self, labels):
         segs = labels.get("segments")
-        if self.p == 0 or not segs or random.random() > self.p:
+        if self.p == 0 or not segs or _rng().random() > self.p:
             return labels
         import cv2
 
@@ -245,7 +289,7 @@ class CopyPaste:
         ioa = _bbox_ioa(flipped, boxes)
         candidates = np.nonzero((ioa < 0.30).all(1))[0]
         new_cls, new_box, new_seg = [], [], []
-        for j in random.sample(list(candidates), k=round(self.p * len(candidates))):
+        for j in _rng().sample(list(candidates), k=round(self.p * len(candidates))):
             seg = segs[j].copy()
             seg[:, 0] = w - seg[:, 0]
             mask = np.zeros((h, w), np.uint8)
@@ -286,18 +330,18 @@ class RandomPerspective:
         C = np.eye(3)
         C[0, 2], C[1, 2] = -w / 2, -h / 2
         P = np.eye(3)
-        P[2, 0] = random.uniform(-self.perspective, self.perspective)
-        P[2, 1] = random.uniform(-self.perspective, self.perspective)
+        P[2, 0] = _rng().uniform(-self.perspective, self.perspective)
+        P[2, 1] = _rng().uniform(-self.perspective, self.perspective)
         R = np.eye(3)
-        a = random.uniform(-self.degrees, self.degrees)
-        s = random.uniform(1 - self.scale, 1 + self.scale)
+        a = _rng().uniform(-self.degrees, self.degrees)
+        s = _rng().uniform(1 - self.scale, 1 + self.scale)
         R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
         S = np.eye(3)
-        S[0, 1] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
-        S[1, 0] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
+        S[0, 1] = math.tan(_rng().uniform(-self.shear, self.shear) * math.pi / 180)
+        S[1, 0] = math.tan(_rng().uniform(-self.shear, self.shear) * math.pi / 180)
         T = np.eye(3)
-        T[0, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_w
-        T[1, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_h
+        T[0, 2] = _rng().uniform(0.5 - self.translate, 0.5 + self.translate) * out_w
+        T[1, 2] = _rng().uniform(0.5 - self.translate, 0.5 + self.translate) * out_h
         Mt = T @ S @ R @ P @ C
 
         if (border[0] != 0) or (border[1] != 0) or (Mt != np.eye(3)).any():
@@ -395,7 +439,7 @@ class RandomHSV:
         if not (self.hgain or self.sgain or self.vgain):
             return labels
         img = labels["img"]
-        r = np.random.uniform(-1, 1, 3) * [self.hgain, self.sgain, self.vgain] + 1
+        r = _np_rng().uniform(-1, 1, 3) * [self.hgain, self.sgain, self.vgain] + 1
         hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
         x = np.arange(0, 256, dtype=r.dtype)
         lut_h = ((x * r[0]) % 180).astype(img.dtype)
@@ -414,7 +458,7 @@ class RandomFlip:
         self.p, self.direction, self.flip_idx = p, direction, flip_idx
 
     def __call__(self, labels):
-        if random.random() >= self.p:
+        if _rng().random() >= self.p:
             return labels
         img = labels["img"]
         h, w = img.shape[:2]
@@ -507,7 +551,7 @@ class BGRChannel:
         self.p = p
 
     def __call__(self, labels):
-        if random.random() < self.p:
+        if _rng().random() < self.p:
             labels["img"] = np.ascontiguousarray(labels["img"][..., ::-1])
         return labels
 

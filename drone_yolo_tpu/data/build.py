@@ -81,6 +81,21 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        se = getattr(self.dataset, "set_epoch", None)
+        if callable(se):
+            se(epoch, self.seed)  # advances the per-sample deterministic augmentation stream
+
+    def _set_window(self, idx, p: int):
+        """Install the deterministic mosaic-companion pool for epoch position p:
+        the trailing `max_buffer_length` indices of this process's permutation
+        stripe. Same (seed, epoch) -> same windows, independent of worker count;
+        those indices were just processed, so they are hot in the decode buffer."""
+        setw = getattr(self.dataset, "set_sample_window", None)
+        w = getattr(self.dataset, "max_buffer_length", 0)
+        if not callable(setw) or not w:
+            return
+        lo = max(0, p - w)
+        setw(idx[lo:p] if p > lo else idx[: max(1, p)])
 
     def _indices(self):
         n = len(self.dataset)
@@ -108,7 +123,7 @@ class DataLoader:
         idx = self._indices()
         batches = [idx[i * self.local_bs : (i + 1) * self.local_bs] for i in range(self.nb)]
         if self.workers <= 1:
-            yield from self._iter_single(batches)
+            yield from self._iter_single(batches, idx)
             return
 
         work: queue.Queue = queue.Queue()
@@ -128,7 +143,10 @@ class DataLoader:
                     inflight.release()
                     return
                 try:
-                    samples = [self.dataset[int(i)] for i in binds]
+                    samples = []
+                    for j, si in enumerate(binds):
+                        self._set_window(idx, bi * self.local_bs + j)
+                        samples.append(self.dataset[int(si)])
                     out = self.dataset.collate(samples)
                 except BaseException as e:  # noqa: BLE001 - propagate to the consumer
                     out = e
@@ -160,17 +178,20 @@ class DataLoader:
             for _ in threads:
                 inflight.release()
 
-    def _iter_single(self, batches):
+    def _iter_single(self, batches, idx):
         """Single producer thread with a bounded prefetch queue (workers<=1)."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
             try:
-                for binds in batches:
+                for bi, binds in enumerate(batches):
                     if stop.is_set():
                         return
-                    samples = [self.dataset[int(i)] for i in binds]
+                    samples = []
+                    for j, si in enumerate(binds):
+                        self._set_window(idx, bi * self.local_bs + j)
+                        samples.append(self.dataset[int(si)])
                     q.put(self.dataset.collate(samples))
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 - propagate to the consumer

@@ -14,13 +14,12 @@ from __future__ import annotations
 import glob
 import math
 import os
-import random
 import threading
 from pathlib import Path
 
 import numpy as np
 
-from drone_yolo_tpu.data.augment import Compose, LetterBoxT, v8_transforms
+from drone_yolo_tpu.data.augment import Compose, LetterBoxT, seed_sample, v8_transforms
 from drone_yolo_tpu.data.utils import IMG_FORMATS, get_hash, img2label_paths, imread_rgb, verify_image_label
 from drone_yolo_tpu.utils import LOGGER, NUM_THREADS, TQDM, colorstr
 
@@ -82,6 +81,11 @@ class YOLODataset:
         self._buffer_ims: dict = {}
         self._buffer_lock = threading.Lock()
         self.max_buffer_length = min(self.ni, batch_size * 8, 1000) if augment else 0
+        # per-sample deterministic augmentation (augment.seed_sample): the
+        # loader sets epoch + a per-thread companion window before each sample
+        self.epoch = 0
+        self.aug_seed = 0
+        self._sample_ctx = threading.local()
         self.rect = rect and not augment
         self.batch_shapes = None
         self.batch = None
@@ -295,7 +299,22 @@ class YOLODataset:
     def __len__(self):
         return self.ni
 
+    def set_epoch(self, epoch: int, seed: int | None = None):
+        """Advance the deterministic augmentation stream (loader calls this)."""
+        self.epoch = int(epoch)
+        if seed is not None:
+            self.aug_seed = int(seed)
+
+    def set_sample_window(self, window):
+        """Thread-local companion pool for the next __getitem__ on this thread
+        (the trailing slice of the epoch permutation before this sample)."""
+        self._sample_ctx.window = window
+
+    def sample_window(self):
+        return getattr(self._sample_ctx, "window", None)
+
     def __getitem__(self, i):
+        seed_sample(self.aug_seed, self.epoch, int(i))
         return self.transforms(self.get_sample(i))
 
     # -- transforms -------------------------------------------------------------
@@ -399,19 +418,23 @@ class ClassificationDataset:
         path, label = self.samples[i]
         im = imread_rgb(path)
         if self.augment:
+            from drone_yolo_tpu.data.augment import _rng
+
+            seed_sample(getattr(self, "aug_seed", 0), getattr(self, "epoch", 0), int(i))
+            rng = _rng()
             # RandomResizedCrop-style: random scale/ratio crop then resize
             h, w = im.shape[:2]
             area = h * w
             for _ in range(10):
-                ta = area * random.uniform(0.5, 1.0)
-                ar = math.exp(random.uniform(math.log(3 / 4), math.log(4 / 3)))
+                ta = area * rng.uniform(0.5, 1.0)
+                ar = math.exp(rng.uniform(math.log(3 / 4), math.log(4 / 3)))
                 cw, ch = int(round(math.sqrt(ta * ar))), int(round(math.sqrt(ta / ar)))
                 if cw <= w and ch <= h:
-                    x0, y0 = random.randint(0, w - cw), random.randint(0, h - ch)
+                    x0, y0 = rng.randint(0, w - cw), rng.randint(0, h - ch)
                     im = im[y0 : y0 + ch, x0 : x0 + cw]
                     break
             im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-            if random.random() < 0.5:
+            if rng.random() < 0.5:
                 im = np.ascontiguousarray(im[:, ::-1])
         else:
             h, w = im.shape[:2]
@@ -420,6 +443,11 @@ class ClassificationDataset:
             top, left = (im.shape[0] - self.imgsz) // 2, (im.shape[1] - self.imgsz) // 2
             im = im[top : top + self.imgsz, left : left + self.imgsz]
         return {"img": im, "cls": label}
+
+    def set_epoch(self, epoch: int, seed: int | None = None):
+        self.epoch = int(epoch)
+        if seed is not None:
+            self.aug_seed = int(seed)
 
     def collate(self, samples):
         return {

@@ -8,12 +8,12 @@ Capability parity with `ultralytics/data/dataset.py:251-372`
 from __future__ import annotations
 
 import json
-import random
 from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
 
+from drone_yolo_tpu.data.augment import _rng
 from drone_yolo_tpu.data.dataset import YOLODataset
 from drone_yolo_tpu.utils import LOGGER, TQDM
 
@@ -37,15 +37,15 @@ class RandomLoadTextT:
         cls = labels["cls"].astype(int).reshape(-1)
         pos = sorted(set(cls.tolist()))
         neg_pool = [i for i in range(len(texts)) if i not in pos]
-        n_neg = min(random.randint(*self.neg_samples), self.max_samples - len(pos), len(neg_pool))
-        sampled = pos + (random.sample(neg_pool, n_neg) if n_neg > 0 else [])
+        n_neg = min(_rng().randint(*self.neg_samples), self.max_samples - len(pos), len(neg_pool))
+        sampled = pos + (_rng().sample(neg_pool, n_neg) if n_neg > 0 else [])
         sampled = sampled[: self.max_samples]
-        random.shuffle(sampled)
+        _rng().shuffle(sampled)
         id_map = {c: i for i, c in enumerate(sampled)}
         keep = np.array([c in id_map for c in cls], bool)
         labels["cls"] = np.array([id_map[c] for c in cls[keep]], np.float32)
         labels["bboxes"] = labels["bboxes"][keep]
-        out = [self.prompt_format.format(random.choice(texts[c])) for c in sampled]
+        out = [self.prompt_format.format(_rng().choice(texts[c])) for c in sampled]
         if self.padding:
             out = out + [self.padding_value] * (self.max_samples - len(out))
         labels["texts"] = out

@@ -109,6 +109,33 @@ def test_mosaic_buffer_cuts_decodes(tmp_path):
     assert ds_val.max_buffer_length == 0 and not ds_val.buffer
 
 
+def test_augmentation_deterministic_across_workers(tmp_path):
+    """Per-sample seeded RNG + deterministic companion windows: an epoch's
+    batches are bit-identical for workers=1 and workers=3 (stronger than the
+    reference, whose results change with num_workers). Also identical across
+    repeat runs, and different across epochs."""
+    from drone_yolo_tpu.data.build import build_dataloader
+
+    yaml_path = make_dataset(tmp_path, n_train=16, n_val=2, size=128, nc=3, seed=11)
+    img_dir = str(tmp_path / "images" / "train")
+
+    def epoch_batches(workers, epoch):
+        ds = YOLODataset(img_dir, imgsz=96, augment=True, hyp=_hyp(), data={"nc": 3}, batch_size=4)
+        loader = build_dataloader(ds, 4, workers, shuffle=True, seed=7)
+        loader.set_epoch(epoch)
+        return [b for b in loader]
+
+    a = epoch_batches(1, 0)
+    b = epoch_batches(3, 0)
+    assert len(a) == len(b) == 4
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["img"], bb["img"])
+        np.testing.assert_array_equal(ba["bboxes"], bb["bboxes"])
+        np.testing.assert_array_equal(ba["cls"], bb["cls"])
+    c = epoch_batches(3, 1)
+    assert any((ba["img"] != bc["img"]).any() for ba, bc in zip(a, c))
+
+
 def test_clip_sample_drops_empty():
     s = {
         "img": np.zeros((32, 32, 3), np.uint8),
