@@ -6,8 +6,10 @@ so the exporter writes the protobuf itself through a vendored minimal
 onnx.proto (field-number-compatible with the public schema) and a per-module
 emitter table that mirrors each module's forward exactly on FUSED weights.
 Artifact contract matches the reference's: input `images` NCHW float32
-(B,3,H,W), output `output0` = (B, 4+nc, A) decoded xywh+scores for detect
-heads, (B, nc) probabilities for classify.
+(B,3,H,W); `output0` = (B, 4+nc, A) decoded xywh+scores for detect heads,
+(B, 4+nc+nm, A) + `output1` protos for segment, (B, 4+nc+nk, A) with decoded
+keypoints for pose, (B, 4+nc+1, A) rotated boxes + angle for OBB, and (B, nc)
+probabilities for classify.
 
 Round-trip verified in tests/test_onnx_export.py against OpenCV's ONNX
 importer (cv2.dnn.readNetFromONNX) — an independent third-party parser.
@@ -211,11 +213,11 @@ class Emitter:
             f"graphs over Conv/C2f/C3/SPPF/Ghost/RepVGG/SCDown/Upsample/Concat/MaxPool."
         )
 
-    def _slice_ch(self, x, start, end):
+    def _slice_ch(self, x, start, end, axis: int = 1):
         b = self.b
         starts = b.const(np.array([start], np.int64), "starts")
         ends = b.const(np.array([end], np.int64), "ends")
-        axes = b.const(np.array([1], np.int64), "axes")
+        axes = b.const(np.array([axis], np.int64), "axes")
         return b.node("Slice", [x, starts, ends, axes])
 
     def emit_detect(self, head: M.Detect, v, xs, imgsz):
@@ -262,6 +264,121 @@ class Emitter:
         return b.node("Concat", [dbox, scores], axis=1, hint="output")  # (B, 4+nc, A)
 
 
+    def emit_proto(self, proto: M.Proto, v, x):
+        """Mask prototypes (reference block.py:80): cv1 -> ConvTranspose(2,2) -> cv2 -> cv3."""
+        b = self.b
+        y = self.emit(proto.cv1, v["cv1"], x)
+        # our kernel layout (kh, kw, out, in) -> ONNX ConvTranspose W (in, out, kh, kw)
+        w = np.transpose(np.asarray(v["up"]["kernel"], np.float32), (3, 2, 0, 1))
+        wn = b.const(w, "upW")
+        bn = b.const(np.asarray(v["up"]["bias"], np.float32), "upB")
+        y = b.node("ConvTranspose", [y, wn, bn], strides=[2, 2], pads=[0, 0, 0, 0])
+        y = self.emit(proto.cv2, v["cv2"], y)
+        return self.emit(proto.cv3, v["cv3"], y)
+
+    def _branch4(self, head, v, xs, cout, imgsz):
+        """Concat the per-level cv4 branch maps into (B, cout, A)."""
+        b = self.b
+        flats = []
+        for i, x in enumerate(xs):
+            m = self.emit(head.cv4[i], v["cv4"][str(i)], x)
+            h = int(imgsz // head.stride[i])
+            shp = b.const(np.array([0, cout, h * h], np.int64), "shape")
+            flats.append(b.node("Reshape", [m, shp]))
+        return b.node("Concat", flats, axis=2)
+
+    def emit_segment(self, head: M.Segment, v, xs, imgsz):
+        """(output0, output1) = ((B, 4+nc+nm, A), protos (B, nm, H/4, W/4)) —
+        reference Segment export contract (head.py:175)."""
+        protos = self.emit_proto(head.proto, v["proto"], xs[0])
+        mc = self._branch4(head, v, xs, head.nm, imgsz)
+        det = self.emit_detect(head, v, xs, imgsz)
+        out0 = self.b.node("Concat", [det, mc], axis=1, hint="output")
+        return out0, protos
+
+    def emit_pose(self, head: M.Pose, v, xs, imgsz):
+        """(B, 4+nc+nk, A) with keypoints decoded to pixel space
+        (reference head.py:230,271 kpts_decode)."""
+        from drone_yolo_tpu.ops.anchors import make_anchors
+
+        b = self.b
+        det = self.emit_detect(head, v, xs, imgsz)
+        kpt = self._branch4(head, v, xs, head.nk, imgsz)  # (B, nk, A)
+        K, D = head.kpt_shape
+        feat_shapes = [(int(imgsz // s), int(imgsz // s)) for s in head.stride]
+        anchors, strides = make_anchors(feat_shapes, head.stride, 0.5)
+        A = anchors.shape[0]
+        shp = b.const(np.array([0, K, D, A], np.int64), "shape")
+        y = b.node("Reshape", [kpt, shp])  # (B, K, D, A)
+        xy = self._slice_ch(y, 0, 2, axis=2)
+        anc = b.const(np.asarray(anchors, np.float32).T.reshape(1, 1, 2, A) - 0.5, "kpt_anc")
+        sn = b.const(np.asarray(strides, np.float32).reshape(1, 1, 1, A), "kpt_strides")
+        xy = b.node("Mul", [b.node("Add", [b.node("Mul", [xy, b.const(np.array(2.0, np.float32), "two")]), anc]), sn])
+        if D == 3:
+            conf = b.node("Sigmoid", [self._slice_ch(y, 2, 3, axis=2)])
+            y = b.node("Concat", [xy, conf], axis=2)
+        else:
+            y = xy
+        shp2 = b.const(np.array([0, K * D, A], np.int64), "shape")
+        pkpt = b.node("Reshape", [y, shp2])
+        return b.node("Concat", [det, pkpt], axis=1, hint="output")
+
+    def emit_obb(self, head: M.OBB, v, xs, imgsz):
+        """(B, 4+nc+1, A): rotation-aware box decode (dist2rbox, ops/anchors.py:61)
+        + angle channel — reference OBB export contract (head.py:200)."""
+        from drone_yolo_tpu.ops.anchors import make_anchors
+
+        b = self.b
+        reg, no = head.reg_max, head.no
+        angle_raw = self._branch4(head, v, xs, head.ne, imgsz)  # (B, 1, A)
+        sig = b.node("Sigmoid", [angle_raw])
+        angle = b.node(
+            "Mul",
+            [b.node("Sub", [sig, b.const(np.array(0.25, np.float32), "quarter")]), b.const(np.array(np.pi, np.float32), "pi")],
+        )
+
+        # raw maps -> (B, no, A), mirroring emit_detect's front half
+        flats = []
+        feat_shapes = []
+        for i, x in enumerate(xs):
+            box = self.emit(head.cv2[i], v["cv2"][str(i)], x)
+            cls = self.emit(head.cv3[i], v["cv3"][str(i)], x)
+            m = b.node("Concat", [box, cls], axis=1)
+            h = int(imgsz // head.stride[i])
+            feat_shapes.append((h, h))
+            shp = b.const(np.array([0, no, h * h], np.int64), "shape")
+            flats.append(b.node("Reshape", [m, shp]))
+        flat = b.node("Concat", flats, axis=2)
+        anchors, strides = make_anchors(feat_shapes, head.stride, 0.5)
+        A = anchors.shape[0]
+
+        box = self._slice_ch(flat, 0, 4 * reg)
+        cls = self._slice_ch(flat, 4 * reg, no)
+        shp = b.const(np.array([0, 4, reg, A], np.int64), "shape")
+        prob = b.node("Softmax", [b.node("Reshape", [box, shp])], axis=2)
+        rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, 1, reg, 1), "dfl_rng")
+        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng])], axes=[2], keepdims=0)  # (B, 4, A)
+
+        # dist2rbox: rotate the (rb-lt)/2 offset by angle, add anchors; wh = lt+rb
+        lt = self._slice_ch(dist, 0, 2)
+        rb = self._slice_ch(dist, 2, 4)
+        half = b.const(np.array(0.5, np.float32), "half")
+        off = b.node("Mul", [b.node("Sub", [rb, lt]), half])  # (B, 2, A)
+        xf = self._slice_ch(off, 0, 1)
+        yf = self._slice_ch(off, 1, 2)
+        cos = b.node("Cos", [angle])
+        sin = b.node("Sin", [angle])
+        xr = b.node("Sub", [b.node("Mul", [xf, cos]), b.node("Mul", [yf, sin])])
+        yr = b.node("Add", [b.node("Mul", [xf, sin]), b.node("Mul", [yf, cos])])
+        anc = b.const(np.asarray(anchors, np.float32).T.reshape(1, 2, A), "anchors")
+        xy = b.node("Add", [b.node("Concat", [xr, yr], axis=1), anc])
+        wh = b.node("Add", [lt, rb])
+        sn = b.const(np.asarray(strides, np.float32).reshape(1, 1, A), "strides")
+        rbox = b.node("Mul", [b.node("Concat", [xy, wh], axis=1), sn])
+        scores = b.node("Sigmoid", [cls])
+        return b.node("Concat", [rbox, scores, angle], axis=1, hint="output")
+
+
 def export_onnx(model, variables, path, imgsz=640, batch=1):
     """Serialize `model` (a nn.model BaseModel subclass) with FUSED `variables`
     to an ONNX file. Returns the path."""
@@ -270,26 +387,38 @@ def export_onnx(model, variables, path, imgsz=640, batch=1):
     variables = model.fuse(variables)
 
     names = {}
-    out_name = None
+    outputs = []  # [(tensor_name, public_name, dims)]
     x0 = "images"
-    out_dims = None
     for spec in model.layers:
         f = spec.f
         xin = x0 if f == -1 else (names[f] if isinstance(f, int) else [x0 if j == -1 else names[j] for j in f])
         v = variables.get(str(spec.i), {})
-        if isinstance(spec.module, M.Detect) and not isinstance(spec.module, (M.v10Detect, M.Segment, M.Pose, M.OBB, M.WorldDetect)):
-            head = spec.module
-            out_name = em.emit_detect(spec.module, v, xin, imgsz)
-            A = sum((imgsz // int(s)) ** 2 for s in head.stride)
-            out_dims = (batch, 4 + head.nc, A)
+        mod = spec.module
+        if isinstance(mod, M.Detect):
+            if isinstance(mod, (M.v10Detect, M.WorldDetect)):
+                raise NotImplementedError(
+                    f"ONNX export covers Detect/Segment/Pose/OBB/Classify heads, not {type(mod).__name__} "
+                    f"(v10's in-graph top-k and World's text embeddings have no portable ONNX contract here)"
+                )
+            A = sum((imgsz // int(s)) ** 2 for s in mod.stride)
+            if isinstance(mod, M.Segment):
+                out0, protos = em.emit_segment(mod, v, xin, imgsz)
+                mh = 2 * (imgsz // int(mod.stride[0]))
+                outputs = [(out0, "output0", (batch, 4 + mod.nc + mod.nm, A)), (protos, "output1", (batch, mod.nm, mh, mh))]
+            elif isinstance(mod, M.Pose):
+                out0 = em.emit_pose(mod, v, xin, imgsz)
+                outputs = [(out0, "output0", (batch, 4 + mod.nc + mod.nk, A))]
+            elif isinstance(mod, M.OBB):
+                out0 = em.emit_obb(mod, v, xin, imgsz)
+                outputs = [(out0, "output0", (batch, 4 + mod.nc + mod.ne, A))]
+            else:
+                out0 = em.emit_detect(mod, v, xin, imgsz)
+                outputs = [(out0, "output0", (batch, 4 + mod.nc, A))]
             break
-        if isinstance(spec.module, M.Classify):
-            out_name = em.emit(spec.module, v, xin)
-            out_dims = (batch, spec.module.c2)
+        if isinstance(mod, M.Classify):
+            outputs = [(em.emit(mod, v, xin), "output0", (batch, mod.c2))]
             break
-        if isinstance(spec.module, (M.v10Detect, M.Segment, M.Pose, M.OBB, M.WorldDetect)):
-            raise NotImplementedError(f"ONNX export currently covers Detect/Classify heads, not {type(spec.module).__name__}")
-        x0 = em.emit(spec.module, v, xin)
+        x0 = em.emit(mod, v, xin)
         names[spec.i] = x0
 
     mp = O.ModelProto()
@@ -309,20 +438,21 @@ def export_onnx(model, variables, path, imgsz=640, batch=1):
     for d in (batch, 3, imgsz, imgsz):
         vi.type.tensor_type.shape.dim.add().dim_value = d
 
-    vo = g.output.add()
-    vo.name = out_name
-    vo.type.tensor_type.elem_type = FLOAT
-    for d in out_dims or ():
-        vo.type.tensor_type.shape.dim.add().dim_value = d
-    # rename final output to the reference's conventional name
+    # rename outputs to the reference's conventional names (output0, output1, ...)
+    rename = {tname: public for tname, public, _ in outputs}
     for nd in g.node:
         for i, o in enumerate(nd.output):
-            if o == out_name:
-                nd.output[i] = "output0"
+            if o in rename:
+                nd.output[i] = rename[o]
         for i, o in enumerate(nd.input):
-            if o == out_name:
-                nd.input[i] = "output0"
-    vo.name = "output0"
+            if o in rename:
+                nd.input[i] = rename[o]
+    for tname, public, dims in outputs:
+        vo = g.output.add()
+        vo.name = public
+        vo.type.tensor_type.elem_type = FLOAT
+        for d in dims or ():
+            vo.type.tensor_type.shape.dim.add().dim_value = d
 
     path = Path(path)
     path.write_bytes(mp.SerializeToString())

@@ -141,3 +141,67 @@ def test_onnx_classify(tmp_path):
     live = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
     live = live[0] if isinstance(live, tuple) else live
     np.testing.assert_allclose(out, np.asarray(live), rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_segment(tmp_path):
+    """Segment-head ONNX: output0 (B, 4+nc+nm, A) + output1 protos, both
+    matching the live fused forward (reference export contract, head.py:175)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLO("yolov8n-seg.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(3).random((1, 64, 64, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out0, out1 = net.forward(["output0", "output1"])
+
+    v = m.model.fuse(m.variables)
+    live, (_, _, protos) = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    assert out0.shape == (1, 84 + 32, 84)
+    np.testing.assert_allclose(out0, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out1, np.asarray(protos).transpose(0, 3, 1, 2), rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_pose(tmp_path):
+    """Pose-head ONNX: output0 (B, 4+nc+nk, A) with keypoints decoded in-graph."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLO("yolov8n-pose.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(4).random((1, 64, 64, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out = net.forward()
+    v = m.model.fuse(m.variables)
+    live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    assert out.shape == (1, 4 + 1 + 17 * 3, 84)
+    np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_obb(tmp_path):
+    """OBB-head ONNX: output0 (B, 4+nc+1, A) rotated boxes decoded via
+    dist2rbox with in-graph Cos/Sin."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLO("yolov8n-obb.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(5).random((1, 64, 64, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out = net.forward()
+    v = m.model.fuse(m.variables)
+    live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    assert out.shape == np.asarray(live).transpose(0, 2, 1).shape
+    np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
