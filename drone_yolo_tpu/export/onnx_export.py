@@ -199,6 +199,66 @@ class Emitter:
             for i, m in enumerate(mod.m):
                 x = self.emit(m, v["m"][str(i)], x)
             return x
+        if isinstance(mod, M.RepConv):  # fused: one 3x3 conv (+ optional SiLU)
+            assert "kernel" in v, "export requires fused variables (model.fuse)"
+            wname = b.const(_w(v["kernel"]), "W")
+            bias = b.const(np.asarray(v["bias"], np.float32), "B")
+            y = b.node("Conv", [x, wname, bias], strides=[mod.s, mod.s], pads=[1, 1, 1, 1], group=mod.g, dilations=[1, 1])
+            if mod.act is True:
+                s = b.node("Sigmoid", [y])
+                y = b.node("Mul", [y, s], hint="silu")
+            return y
+        if isinstance(mod, M.RepNCSPELAN4):  # also ELAN1 (plain-conv subclass)
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            c = mod.c
+            ys = [self._slice_ch(y0, 0, c), self._slice_ch(y0, c, 2 * c)]
+            ys.append(self.emit(mod.cv2, v["cv2"], ys[-1]))
+            ys.append(self.emit(mod.cv3, v["cv3"], ys[-1]))
+            return self.emit(mod.cv4, v["cv4"], b.node("Concat", ys, axis=1))
+        if isinstance(mod, M.AConv):
+            y = b.node("AveragePool", [x], kernel_shape=[2, 2], strides=[1, 1], pads=[0, 0, 0, 0])
+            return self.emit(mod.cv1, v["cv1"], y)
+        if isinstance(mod, M.ADown):
+            y = b.node("AveragePool", [x], kernel_shape=[2, 2], strides=[1, 1], pads=[0, 0, 0, 0])
+            c_half = mod.cv1.c1  # ADown splits the pooled input in half
+            x1 = self._slice_ch(y, 0, c_half)
+            x2 = self._slice_ch(y, c_half, 2 * c_half)
+            y1 = self.emit(mod.cv1, v["cv1"], x1)
+            y2 = self.emit(mod.cv2, v["cv2"], b.node("MaxPool", [x2], kernel_shape=[3, 3], strides=[2, 2], pads=[1, 1, 1, 1]))
+            return b.node("Concat", [y1, y2], axis=1)
+        if isinstance(mod, M.SPPELAN):
+            ys = [self.emit(mod.cv1, v["cv1"], x)]
+            for _ in range(3):
+                ys.append(b.node("MaxPool", [ys[-1]], kernel_shape=[mod.k, mod.k], strides=[1, 1], pads=_pads(mod.k // 2)))
+            return self.emit(mod.cv5, v["cv5"], b.node("Concat", ys, axis=1))
+        if isinstance(mod, M.CIB):
+            y = self.emit(mod.cv1, v["cv1"], x)
+            return b.node("Add", [x, y]) if mod.add else y
+        if isinstance(mod, M.RepVGGDW):  # fused: one 7x7 DW conv + bias + SiLU
+            assert "kernel" in v, "export requires fused variables (model.fuse)"
+            wname = b.const(_w(v["kernel"]), "W")
+            bias = b.const(np.asarray(v["bias"], np.float32), "B")
+            y = b.node("Conv", [x, wname, bias], strides=[1, 1], pads=[3, 3, 3, 3], group=mod.c, dilations=[1, 1])
+            s = b.node("Sigmoid", [y])
+            return b.node("Mul", [y, s], hint="silu")
+        if isinstance(mod, M.Attention):
+            return self.emit_attention(mod, v, x)
+        if isinstance(mod, M.PSABlock):
+            y = self.emit_attention(mod.attn, v["attn"], x)
+            x = b.node("Add", [x, y]) if mod.add else y
+            y = self.emit(mod.ffn, v["ffn"], x)
+            return b.node("Add", [x, y]) if mod.add else y
+        if isinstance(mod, (M.PSA, M.C2PSA)):
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            c = mod.c
+            a, bb = self._slice_ch(y0, 0, c), self._slice_ch(y0, c, 2 * c)
+            if isinstance(mod, M.C2PSA):
+                for i, m in enumerate(mod.m):
+                    bb = self.emit(m, v["m"][str(i)], bb)
+            else:
+                bb = b.node("Add", [bb, self.emit_attention(mod.attn, v["attn"], bb)])
+                bb = b.node("Add", [bb, self.emit(mod.ffn, v["ffn"], bb)])
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", [a, bb], axis=1))
         if isinstance(mod, M.Classify):
             y = self.emit(mod.conv, v["conv"], x)
             y = b.node("GlobalAveragePool", [y])
@@ -220,18 +280,21 @@ class Emitter:
         axes = b.const(np.array([axis], np.int64), "axes")
         return b.node("Slice", [x, starts, ends, axes])
 
-    def emit_detect(self, head: M.Detect, v, xs, imgsz):
+    def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None):
         """Raw maps + in-graph DFL decode -> (B, 4+nc, A), reference Detect
-        export contract (head.py:100 _inference)."""
+        export contract (head.py:100 _inference). `branches` overrides the
+        (box_mods, box_vars, cls_mods, cls_vars) tuple — used for v10's
+        deployed one2one branch."""
         from drone_yolo_tpu.ops.anchors import make_anchors
 
         b = self.b
+        box_mods, box_vars, cls_mods, cls_vars = branches or (head.cv2, v["cv2"], head.cv3, v["cv3"])
         reg, nc, no = head.reg_max, head.nc, head.no
         flats = []
         feat_shapes = []
         for i, x in enumerate(xs):
-            box = self.emit(head.cv2[i], v["cv2"][str(i)], x)
-            cls = self.emit(head.cv3[i], v["cv3"][str(i)], x)
+            box = self.emit(box_mods[i], box_vars[str(i)], x)
+            cls = self.emit(cls_mods[i], cls_vars[str(i)], x)
             m = b.node("Concat", [box, cls], axis=1)  # (B, no, h, w)
             h = int(imgsz // head.stride[i])
             feat_shapes.append((h, h))
@@ -263,6 +326,36 @@ class Emitter:
         scores = b.node("Sigmoid", [cls])
         return b.node("Concat", [dbox, scores], axis=1, hint="output")  # (B, 4+nc, A)
 
+
+    def emit_attention(self, at: M.Attention, v, x):
+        """Spatial MHSA (reference block.py:870) in NCHW: qkv conv -> per-head
+        q^T k softmax -> v attn^T -> positional DW conv -> proj. Spatial dims
+        are recovered at runtime via Shape (the standard exported-ONNX idiom),
+        so the same emitter serves any feature-map size."""
+        b = self.b
+        nh, kd, hd = at.num_heads, at.key_dim, at.head_dim
+        per = kd * 2 + hd
+        qkv = self.emit(at.qkv, v["qkv"], x)  # (B, nh*per, H, W)
+        shp = b.const(np.array([0, nh, per, -1], np.int64), "shape")
+        qkv = b.node("Reshape", [qkv, shp])  # (B, nh, per, n)
+        q = self._slice_ch(qkv, 0, kd, axis=2)
+        k = self._slice_ch(qkv, kd, 2 * kd, axis=2)
+        vv = self._slice_ch(qkv, 2 * kd, per, axis=2)
+        qt = b.node("Transpose", [q], perm=[0, 1, 3, 2])  # (B, nh, n, kd)
+        attn = b.node("MatMul", [qt, k])  # (B, nh, n, n)
+        attn = b.node("Mul", [attn, b.const(np.array(at.scale, np.float32), "scale")])
+        attn = b.node("Softmax", [attn], axis=3)
+        attn_t = b.node("Transpose", [attn], perm=[0, 1, 3, 2])
+        out = b.node("MatMul", [vv, attn_t])  # (B, nh, hd, n)
+        # back to (B, C, H, W): H/W recovered from the block input's Shape
+        hw = b.node("Slice", [b.node("Shape", [x]), b.const(np.array([2], np.int64), "s2"), b.const(np.array([4], np.int64), "s4"), b.const(np.array([0], np.int64), "ax0")])
+        lead = b.const(np.array([0, nh * hd], np.int64), "lead")
+        full = b.node("Concat", [lead, hw], axis=0)
+        out = b.node("Reshape", [out, full])
+        vmap = b.node("Reshape", [vv, full])
+        pe = self.emit(at.pe, v["pe"], vmap)
+        out = b.node("Add", [out, pe])
+        return self.emit(at.proj, v["proj"], out)
 
     def emit_proto(self, proto: M.Proto, v, x):
         """Mask prototypes (reference block.py:80): cv1 -> ConvTranspose(2,2) -> cv2 -> cv3."""
@@ -395,13 +488,25 @@ def export_onnx(model, variables, path, imgsz=640, batch=1):
         v = variables.get(str(spec.i), {})
         mod = spec.module
         if isinstance(mod, M.Detect):
-            if isinstance(mod, (M.v10Detect, M.WorldDetect)):
+            if isinstance(mod, M.WorldDetect):
                 raise NotImplementedError(
-                    f"ONNX export covers Detect/Segment/Pose/OBB/Classify heads, not {type(mod).__name__} "
-                    f"(v10's in-graph top-k and World's text embeddings have no portable ONNX contract here)"
+                    f"ONNX export covers Detect/v10/Segment/Pose/OBB/Classify heads, not {type(mod).__name__} "
+                    f"(World's runtime text embeddings have no portable ONNX contract here)"
                 )
             A = sum((imgsz // int(s)) ** 2 for s in mod.stride)
-            if isinstance(mod, M.Segment):
+            if isinstance(mod, M.v10Detect):
+                # NMS-free deployed branch: decoded one2one maps. The reference
+                # additionally bakes a top-k postprocess into the graph
+                # (head.py:150); here top-k stays host-side (TopK/GatherElements
+                # are not portable across the importers we can verify against),
+                # so the artifact contract is (B, 4+nc, A) like plain Detect —
+                # consumers threshold/top-k directly, no NMS needed.
+                out0 = em.emit_detect(
+                    mod, v, xin, imgsz,
+                    branches=(mod.one2one_cv2, v["one2one_cv2"], mod.one2one_cv3, v["one2one_cv3"]),
+                )
+                outputs = [(out0, "output0", (batch, 4 + mod.nc, A))]
+            elif isinstance(mod, M.Segment):
                 out0, protos = em.emit_segment(mod, v, xin, imgsz)
                 mh = 2 * (imgsz // int(mod.stride[0]))
                 outputs = [(out0, "output0", (batch, 4 + mod.nc + mod.nm, A)), (protos, "output1", (batch, mod.nm, mh, mh))]

@@ -205,3 +205,69 @@ def test_onnx_obb(tmp_path):
     live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
     assert out.shape == np.asarray(live).transpose(0, 2, 1).shape
     np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_v10(tmp_path):
+    """v10 ONNX: decoded NMS-free one2one branch (B, 4+nc, A); applying the
+    reference top-k postprocess host-side reproduces the live (B, 300, 6)
+    detections."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLO("yolov10n.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(6).random((1, 64, 64, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out = net.forward()  # (1, 84, A)
+    assert out.shape[1] == 84
+
+    v = m.model.fuse(m.variables)
+    live, aux = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    live = np.asarray(live)  # (1, 300, 6) xyxy + score + cls
+
+    # direct parity of the decoded one2one tensor (tie-proof: random-init
+    # scores are heavily tied, so a top-k-selection comparison is ill-defined)
+    head = m.model.layers[-1].module
+    dec = np.asarray(head.decode(aux["one2one"]))  # (1, A, 4+nc)
+    np.testing.assert_allclose(out, dec.transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
+
+    # the reference top-k postprocess over the ONNX output reproduces the
+    # live detections' scores (box/cls identity is tie-ambiguous at init)
+    scores = out.transpose(0, 2, 1)[..., 4:].reshape(1, -1)
+    k = live.shape[1]
+    top = -np.sort(-scores, axis=1)[:, :k]
+    np.testing.assert_allclose(top, live[..., 4], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,imgsz",
+    [
+        ("yolov5n.yaml", 64),
+        ("yolov9t.yaml", 64),
+        ("yolo11n.yaml", 64),
+        ("yolov8n-ghost.yaml", 64),
+        ("yolov8n-p6.yaml", 128),
+    ],
+)
+def test_onnx_zoo_families(name, imgsz, tmp_path):
+    """ONNX emission + OpenCV round-trip numerical parity across families
+    (v5 C3, v9 ELAN/RepConv/AConv, v11 C2PSA attention, ghost, P6 4-level)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLO(name)
+    path = m.export(format="onnx", imgsz=imgsz, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(0).random((1, imgsz, imgsz, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out = net.forward()
+    v = m.model.fuse(m.variables)
+    live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
