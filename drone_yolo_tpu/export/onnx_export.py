@@ -259,6 +259,18 @@ class Emitter:
                 bb = b.node("Add", [bb, self.emit_attention(mod.attn, v["attn"], bb)])
                 bb = b.node("Add", [bb, self.emit(mod.ffn, v["ffn"], bb)])
             return self.emit(mod.cv2, v["cv2"], b.node("Concat", [a, bb], axis=1))
+        if isinstance(mod, M.ABlock):
+            x = b.node("Add", [x, self.emit_aattn(mod.attn, v["attn"], x)])
+            return b.node("Add", [x, self.emit(mod.mlp, v["mlp"], x)])
+        if isinstance(mod, M.A2C2f):
+            ys = [self.emit(mod.cv1, v["cv1"], x)]
+            for i, m in enumerate(mod.m):
+                ys.append(self.emit(m, v["m"][str(i)], ys[-1]))
+            out = self.emit(mod.cv2, v["cv2"], b.node("Concat", ys, axis=1))
+            if mod.residual:
+                g = b.const(np.asarray(v["gamma"], np.float32).reshape(1, -1, 1, 1), "gamma")
+                out = b.node("Add", [x, b.node("Mul", [g, out])])
+            return out
         if isinstance(mod, M.Classify):
             y = self.emit(mod.conv, v["conv"], x)
             y = b.node("GlobalAveragePool", [y])
@@ -356,6 +368,53 @@ class Emitter:
         pe = self.emit(at.pe, v["pe"], vmap)
         out = b.node("Add", [out, pe])
         return self.emit(at.proj, v["proj"], out)
+
+    def emit_aattn(self, at: M.AAttn, v, x):
+        """Area attention (reference block.py:1161, v12) in NCHW: full attention
+        within `area` horizontal stripes, stripes folded into the batch dim via
+        dynamic Shape arithmetic (the exported input is fixed-size, so importers
+        constant-fold the shape subgraph)."""
+        b = self.b
+        nh, hd, c = at.nh, at.hd, at.dim
+        area = at.area if at.area > 1 else 1
+        qkv = self.emit(at.qkv, v["qkv"], x)  # (B, 3c, H, W)
+        shp3 = b.const(np.array([0, 3 * c, -1], np.int64), "shape")
+        qkv = b.node("Transpose", [b.node("Reshape", [qkv, shp3])], perm=[0, 2, 1])  # (B, n, 3c)
+        if area > 1:
+            # (B, n, 3c) -> (B*area, n/area, 3c); n recovered from Shape(x)
+            sh = b.node("Shape", [x])
+            h_ = b.node("Slice", [sh, b.const(np.array([2], np.int64), "s2"), b.const(np.array([3], np.int64), "s3"), b.const(np.array([0], np.int64), "ax")])
+            w_ = b.node("Slice", [sh, b.const(np.array([3], np.int64), "s3"), b.const(np.array([4], np.int64), "s4"), b.const(np.array([0], np.int64), "ax")])
+            n_ = b.node("Mul", [h_, w_])
+            n_div = b.node("Div", [n_, b.const(np.array([area], np.int64), "area")])
+            shp = b.node("Concat", [b.const(np.array([-1], np.int64), "m1"), n_div, b.const(np.array([3 * c], np.int64), "c3")], axis=0)
+            qkv = b.node("Reshape", [qkv, shp])
+        shp4 = b.const(np.array([0, -1, nh, 3 * hd], np.int64), "shape")
+        qkv = b.node("Reshape", [qkv, shp4])  # (bb, nn, nh, 3hd)
+        q = self._slice_ch(qkv, 0, hd, axis=3)
+        k = self._slice_ch(qkv, hd, 2 * hd, axis=3)
+        vv = self._slice_ch(qkv, 2 * hd, 3 * hd, axis=3)
+        qt = b.node("Transpose", [q], perm=[0, 2, 1, 3])  # (bb, nh, nn, hd)
+        kt = b.node("Transpose", [k], perm=[0, 2, 3, 1])  # (bb, nh, hd, nn)
+        vt = b.node("Transpose", [vv], perm=[0, 2, 1, 3])  # (bb, nh, nn, hd)
+        attn = b.node("Mul", [b.node("MatMul", [qt, kt]), b.const(np.array(hd**-0.5, np.float32), "scale")])
+        attn = b.node("Softmax", [attn], axis=3)
+        out = b.node("Transpose", [b.node("MatMul", [attn, vt])], perm=[0, 2, 1, 3])  # (bb, nn, nh, hd)
+        # (bb, nn, nh, hd) -> (B, n, c): flatten heads, then unfold area back
+        # into n BEFORE any transpose (area stripes are contiguous along n)
+        hw = b.node("Slice", [b.node("Shape", [x]), b.const(np.array([2], np.int64), "s2"), b.const(np.array([4], np.int64), "s4"), b.const(np.array([0], np.int64), "ax")])
+        bnc = b.const(np.array([0, -1, c], np.int64), "bnc")
+        merged = b.node("Reshape", [out, bnc])  # (bb, nn, c)
+        vmerged = b.node("Reshape", [vv, bnc])
+        if area > 1:
+            unfold = b.node("Concat", [b.const(np.array([-1], np.int64), "m1"), n_, b.const(np.array([c], np.int64), "cc")], axis=0)
+            merged = b.node("Reshape", [merged, unfold])  # (B, n, c)
+            vmerged = b.node("Reshape", [vmerged, unfold])
+        full = b.node("Concat", [b.const(np.array([-1, c], np.int64), "lead"), hw], axis=0)  # (B, c, H, W)
+        out = b.node("Reshape", [b.node("Transpose", [merged], perm=[0, 2, 1]), full])
+        vmap = b.node("Reshape", [b.node("Transpose", [vmerged], perm=[0, 2, 1]), full])
+        pe = self.emit(at.pe, v["pe"], vmap)
+        return self.emit(at.proj, v["proj"], b.node("Add", [out, pe]))
 
     def emit_proto(self, proto: M.Proto, v, x):
         """Mask prototypes (reference block.py:80): cv1 -> ConvTranspose(2,2) -> cv2 -> cv3."""

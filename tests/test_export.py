@@ -251,6 +251,7 @@ def test_onnx_v10(tmp_path):
         ("yolo11n.yaml", 64),
         ("yolov8n-ghost.yaml", 64),
         ("yolov8n-p6.yaml", 128),
+        ("yolo12n.yaml", 64),
     ],
 )
 def test_onnx_zoo_families(name, imgsz, tmp_path):
