@@ -104,10 +104,14 @@ def _act(b, mod, x):
 
 
 class Emitter:
-    """Walks the fused model graph and emits ONNX nodes per module."""
+    """Walks the fused model graph and emits ONNX nodes per module.
 
-    def __init__(self, builder: Builder):
+    `txt` holds the World vocabulary embeddings (nc, gc) when exporting a
+    WorldModel — text-conditioned blocks bake it into constant weights."""
+
+    def __init__(self, builder: Builder, txt=None):
         self.b = builder
+        self.txt = txt
 
     def emit(self, mod, v, x):
         b = self.b
@@ -259,6 +263,20 @@ class Emitter:
                 bb = b.node("Add", [bb, self.emit_attention(mod.attn, v["attn"], bb)])
                 bb = b.node("Add", [bb, self.emit(mod.ffn, v["ffn"], bb)])
             return self.emit(mod.cv2, v["cv2"], b.node("Concat", [a, bb], axis=1))
+        if isinstance(mod, M.C2fAttn):
+            assert self.txt is not None, "C2fAttn export requires a WorldModel vocabulary (set_classes)"
+            y0 = self.emit(mod.cv1, v["cv1"], x)
+            c = mod.c
+            ys = [self._slice_ch(y0, 0, c), self._slice_ch(y0, c, 2 * c)]
+            for i, m in enumerate(mod.m):
+                ys.append(self.emit(m, v["m"][str(i)], ys[-1]))
+            ys.append(self.emit_max_sigmoid_attn(mod.attn, v["attn"], ys[-1]))
+            return self.emit(mod.cv2, v["cv2"], b.node("Concat", ys, axis=1))
+        if isinstance(mod, M.ImagePoolingAttn):
+            raise NotImplementedError(
+                "ONNX export supports worldv2 graphs (static vocabulary); the v1 ImagePoolingAttn "
+                "refines text embeddings from image features at runtime, which cannot be baked"
+            )
         if isinstance(mod, M.ABlock):
             x = b.node("Add", [x, self.emit_aattn(mod.attn, v["attn"], x)])
             return b.node("Add", [x, self.emit(mod.mlp, v["mlp"], x)])
@@ -292,11 +310,66 @@ class Emitter:
         axes = b.const(np.array([axis], np.int64), "axes")
         return b.node("Slice", [x, starts, ends, axes])
 
-    def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None):
+    def emit_max_sigmoid_attn(self, at, v, x):
+        """Text-guided max-sigmoid attention (reference block.py:414) with the
+        guide BAKED: g = txt @ W_gl + b_gl is a constant, so per head the
+        similarity is a 1x1 conv over that head's embed channels followed by
+        ReduceMax over classes; the proj output is gated per head-block."""
+        import math as _math
+
+        b = self.b
+        nh, hc = at.nh, at.hc
+        g = np.asarray(self.txt, np.float32) @ np.asarray(v["gl"]["kernel"], np.float32) + np.asarray(v["gl"]["bias"], np.float32)
+        g = g.reshape(-1, nh, hc)  # (n_cls, nh, hc)
+        embed = self.emit(at.ec_conv, v["ec"], x) if at.ec_conv is not None else x
+        bias = np.asarray(v["bias"], np.float32)
+        scale = np.asarray(v["scale"], np.float32) if at.use_scale else None
+        aws = []
+        for m in range(nh):
+            es = self._slice_ch(embed, m * hc, (m + 1) * hc)
+            wm = b.const(np.ascontiguousarray(g[:, m, :]).reshape(-1, hc, 1, 1), "gW")
+            sim = b.node("Conv", [es, wm], strides=[1, 1], pads=[0, 0, 0, 0], group=1, dilations=[1, 1])
+            mx = b.node("ReduceMax", [sim], axes=[1], keepdims=1)
+            mx = b.node("Mul", [mx, b.const(np.array(1.0 / _math.sqrt(hc), np.float32), "inv")])
+            mx = b.node("Sigmoid", [b.node("Add", [mx, b.const(np.array(bias[m], np.float32), "ab")])])
+            if scale is not None:
+                mx = b.node("Mul", [mx, b.const(np.array(scale[m], np.float32), "as")])
+            aws.append(mx)
+        y = self.emit(at.proj_conv, v["proj_conv"], x)
+        outs = [b.node("Mul", [self._slice_ch(y, m * hc, (m + 1) * hc), aws[m]]) for m in range(nh)]
+        return b.node("Concat", outs, axis=1) if nh > 1 else outs[0]
+
+    def emit_contrastive(self, head_mod, v, emb, txt):
+        """Region-text similarity with the text matrix BAKED as a 1x1-conv
+        weight (the reference bakes txt_feats at World export the same way):
+        ContrastiveHead L2-normalizes features (block.py:522);
+        BNContrastiveHead applies eval-mode BN instead (block.py:540)."""
+        b = self.b
+        if isinstance(head_mod, M.BNContrastiveHead):
+            bn = v["bn"]
+            xf = b.node(
+                "BatchNormalization",
+                [emb, b.const(np.asarray(bn["scale"], np.float32), "g"), b.const(np.asarray(bn["bias"], np.float32), "b"),
+                 b.const(np.asarray(bn["mean"], np.float32), "m"), b.const(np.asarray(bn["var"], np.float32), "v")],
+                epsilon=float(M.BN_EPS),
+            )
+        else:
+            ss = b.node("ReduceSum", [b.node("Mul", [emb, emb])], axes=[1], keepdims=1)
+            nrm = b.node("Add", [b.node("Sqrt", [ss]), b.const(np.array(1e-12, np.float32), "eps")])
+            xf = b.node("Div", [emb, nrm])
+        w = np.asarray(txt, np.float32)
+        w = w / (np.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+        conv_w = b.const(w.reshape(w.shape[0], w.shape[1], 1, 1), "txtW")
+        sim = b.node("Conv", [xf, conv_w], strides=[1, 1], pads=[0, 0, 0, 0], group=1, dilations=[1, 1])
+        sim = b.node("Mul", [sim, b.const(np.exp(np.asarray(v["logit_scale"], np.float32)), "lscale")])
+        return b.node("Add", [sim, b.const(np.asarray(v["bias"], np.float32), "lbias")])
+
+    def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None, cls_fn=None):
         """Raw maps + in-graph DFL decode -> (B, 4+nc, A), reference Detect
         export contract (head.py:100 _inference). `branches` overrides the
         (box_mods, box_vars, cls_mods, cls_vars) tuple — used for v10's
-        deployed one2one branch."""
+        deployed one2one branch; `cls_fn(i, x)` overrides the class branch —
+        used for World's contrastive text scoring."""
         from drone_yolo_tpu.ops.anchors import make_anchors
 
         b = self.b
@@ -306,7 +379,7 @@ class Emitter:
         feat_shapes = []
         for i, x in enumerate(xs):
             box = self.emit(box_mods[i], box_vars[str(i)], x)
-            cls = self.emit(cls_mods[i], cls_vars[str(i)], x)
+            cls = cls_fn(i, x) if cls_fn is not None else self.emit(cls_mods[i], cls_vars[str(i)], x)
             m = b.node("Concat", [box, cls], axis=1)  # (B, no, h, w)
             h = int(imgsz // head.stride[i])
             feat_shapes.append((h, h))
@@ -535,7 +608,8 @@ def export_onnx(model, variables, path, imgsz=640, batch=1):
     """Serialize `model` (a nn.model BaseModel subclass) with FUSED `variables`
     to an ONNX file. Returns the path."""
     b = Builder()
-    em = Emitter(b)
+    txt = getattr(model, "txt_feats", None)
+    em = Emitter(b, txt=None if txt is None else np.asarray(txt)[0])
     variables = model.fuse(variables)
 
     names = {}
@@ -547,13 +621,20 @@ def export_onnx(model, variables, path, imgsz=640, batch=1):
         v = variables.get(str(spec.i), {})
         mod = spec.module
         if isinstance(mod, M.Detect):
-            if isinstance(mod, M.WorldDetect):
-                raise NotImplementedError(
-                    f"ONNX export covers Detect/v10/Segment/Pose/OBB/Classify heads, not {type(mod).__name__} "
-                    f"(World's runtime text embeddings have no portable ONNX contract here)"
-                )
             A = sum((imgsz // int(s)) ** 2 for s in mod.stride)
-            if isinstance(mod, M.v10Detect):
+            if isinstance(mod, M.WorldDetect):
+                # bake the model's current vocabulary (set_classes txt_feats)
+                # as constants, like the reference's World export
+                assert em.txt is not None and em.txt.shape[0] == mod.nc, "WorldModel txt_feats required (set_classes)"
+                head, headv = mod, v
+
+                def world_cls(i, xi):
+                    emb = em.emit(head.cv3[i], headv["cv3"][str(i)], xi)
+                    return em.emit_contrastive(head.cv4[i], headv["cv4"][str(i)], emb, em.txt)
+
+                out0 = em.emit_detect(mod, v, xin, imgsz, cls_fn=world_cls)
+                outputs = [(out0, "output0", (batch, 4 + mod.nc, A))]
+            elif isinstance(mod, M.v10Detect):
                 # NMS-free deployed branch: decoded one2one maps. The reference
                 # additionally bakes a top-k postprocess into the graph
                 # (head.py:150); here top-k stays host-side (TopK/GatherElements

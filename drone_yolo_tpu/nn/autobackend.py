@@ -157,9 +157,15 @@ class AutoBackend:
         net = cv2.dnn.readNetFromONNX(str(self.path))
         self.model = None
         self._sibling_meta()
+        out_names = list(net.getUnconnectedOutLayersNames())
 
         def call(x):
             net.setInput(np.ascontiguousarray(np.asarray(x, np.float32).transpose(0, 3, 1, 2)))
+            if len(out_names) > 1:  # e.g. segment: output0 preds + output1 protos (NCHW -> NHWC)
+                outs = net.forward(out_names)
+                preds = outs[0].transpose(0, 2, 1) if outs[0].ndim == 3 else outs[0]
+                rest = [o.transpose(0, 2, 3, 1) if o.ndim == 4 else o for o in outs[1:]]
+                return [preds, *rest]
             out = net.forward()
             return out.transpose(0, 2, 1) if out.ndim == 3 else out
 

@@ -272,3 +272,27 @@ def test_onnx_zoo_families(name, imgsz, tmp_path):
     v = m.model.fuse(m.variables)
     live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
     np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_world_baked_vocabulary(tmp_path):
+    """Worldv2 ONNX: the set_classes vocabulary is baked as constants — the
+    contrastive head becomes normalize+1x1-conv and each C2fAttn guide becomes
+    per-head conv + ReduceMax (reference bakes txt_feats the same way)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from drone_yolo_tpu.models.world import YOLOWorld
+    from drone_yolo_tpu.nn import modules as M
+
+    m = YOLOWorld("yolov8s-worldv2.yaml")
+    emb = np.random.default_rng(1).standard_normal((4, 512)).astype(np.float32)
+    m.set_classes(["person", "car", "dog", "kite"], embeddings=emb)
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    x = np.random.default_rng(0).random((1, 64, 64, 3), np.float32)
+    net = cv2.dnn.readNetFromONNX(str(path))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    out = net.forward()
+    assert out.shape == (1, 8, 84)  # 4 + nc=4
+    v = m.model.fuse(m.ensure_variables())
+    live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
+    np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-3, atol=1e-3)
