@@ -299,8 +299,11 @@ class Emitter:
             y = b.node("Add", [y, bn])
             return b.node("Softmax", [y], axis=1)
         raise NotImplementedError(
-            f"ONNX emitter: unsupported module {type(mod).__name__}. Supported: detect/classify "
-            f"graphs over Conv/C2f/C3/SPPF/Ghost/RepVGG/SCDown/Upsample/Concat/MaxPool."
+            f"ONNX emitter: unsupported module {type(mod).__name__}. Supported: the v3-v12 + world(v2) "
+            f"module families (Conv/C2f/C3/SPPF/Ghost/RepVGG/RepConv/ELAN/ADown/SCDown/PSA/C2PSA/AAttn/"
+            f"C2fAttn/Upsample/Concat/MaxPool) under Detect/v10/Segment/Pose/OBB/World/Classify heads. "
+            f"RT-DETR's deformable-attention decoder needs GridSample-class ops with no verifiable "
+            f"importer in this image — use the stablehlo/savedmodel artifacts for that family."
         )
 
     def _slice_ch(self, x, start, end, axis: int = 1):

@@ -17,7 +17,7 @@ from drone_yolo_tpu.utils import LOGGER, TQDM
 
 
 def default_formats():
-    fmts = ["npz", "stablehlo"]
+    fmts = ["npz", "stablehlo", "onnx"]
     try:
         import tensorflow  # noqa: F401
 
