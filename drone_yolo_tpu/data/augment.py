@@ -48,10 +48,17 @@ def _np_rng() -> np.random.Generator:
 
 
 def seed_sample(seed: int, epoch: int, index: int):
-    """Deterministically seed this thread's augmentation RNG for one sample."""
-    h = (int(seed) * 1_000_003 + int(epoch)) * 1_000_003 + int(index)
+    """Deterministically seed this thread's augmentation RNG for one sample.
+
+    splitmix64 finalizer over the packed key — a plain polynomial mix aliases
+    (epoch e, index i) with (epoch e+1, index i-M) on datasets larger than M,
+    correlating augmentation streams across adjacent epochs."""
+    h = (int(seed) & 0xFFFF) << 48 | (int(epoch) & 0xFFFF) << 32 | int(index) & 0xFFFFFFFF
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 31
     _rng().seed(h)
-    _thread_rng.np_rng = np.random.default_rng(h & 0x7FFFFFFFFFFFFFFF)
+    _thread_rng.np_rng = np.random.default_rng(h)
 
 
 class Compose:
@@ -114,8 +121,12 @@ class Mosaic:
         """
         win = getattr(self.dataset, "sample_window", None)
         win = win() if callable(win) else None
-        if win is not None and len(win):
-            return [int(x) for x in _rng().choices(list(win), k=k)]
+        if win is not None:
+            if len(win):
+                return [int(x) for x in _rng().choices(list(win), k=k)]
+            # epoch position 0: no history yet — seeded-uniform draw keeps
+            # determinism without degenerating into a self-only mosaic
+            return [_rng().randint(0, len(self.dataset) - 1) for _ in range(k)]
         buf = getattr(self.dataset, "buffer", None)
         if buf:
             return _rng().choices(list(buf), k=k)

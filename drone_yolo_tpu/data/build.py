@@ -95,7 +95,9 @@ class DataLoader:
         if not callable(setw) or not w:
             return
         lo = max(0, p - w)
-        setw(idx[lo:p] if p > lo else idx[: max(1, p)])
+        # empty at p=0: Mosaic then draws seeded-uniform companions (still
+        # deterministic) instead of 4 copies of the first sample
+        setw(idx[lo:p])
 
     def _indices(self):
         n = len(self.dataset)

@@ -172,7 +172,10 @@ class BaseValidator(CallbackMixin):
             )
 
             def backend_fn(_variables, x):
-                preds = self.adapt_raw(backend(np.asarray(x, np.float32)))
+                out = backend(np.asarray(x, np.float32))
+                if isinstance(out, (list, tuple)):  # multi-output artifacts (e.g. segment
+                    out = out[0]  # ONNX): element 0 is the detection tensor
+                preds = self.adapt_raw(out)
                 return nms(jnp.asarray(preds))
 
             self._jit_cache[key] = backend_fn

@@ -29,7 +29,11 @@ from drone_yolo_tpu.nn import modules as M  # noqa: E402
 
 FLOAT = O.TensorProto.FLOAT
 INT64 = O.TensorProto.INT64
-OPSET = 12
+# opset >= 13 is required for correctness: the DFL decode emits
+# Softmax(axis=2) on a 4-D tensor, and opset<13 Softmax coerces to 2-D and
+# normalizes over ALL trailing dims (OpenCV's importer is lenient, but
+# spec-conformant runtimes like onnxruntime would produce wrong boxes)
+OPSET = 13
 
 
 class Builder:
@@ -357,7 +361,7 @@ class Emitter:
                 epsilon=float(M.BN_EPS),
             )
         else:
-            ss = b.node("ReduceSum", [b.node("Mul", [emb, emb])], axes=[1], keepdims=1)
+            ss = b.node("ReduceSum", [b.node("Mul", [emb, emb]), b.const(np.array([1], np.int64), "axes")], keepdims=1)
             nrm = b.node("Add", [b.node("Sqrt", [ss]), b.const(np.array(1e-12, np.float32), "eps")])
             xf = b.node("Div", [emb, nrm])
         w = np.asarray(txt, np.float32)
@@ -367,17 +371,15 @@ class Emitter:
         sim = b.node("Mul", [sim, b.const(np.exp(np.asarray(v["logit_scale"], np.float32)), "lscale")])
         return b.node("Add", [sim, b.const(np.asarray(v["bias"], np.float32), "lbias")])
 
-    def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None, cls_fn=None):
-        """Raw maps + in-graph DFL decode -> (B, 4+nc, A), reference Detect
-        export contract (head.py:100 _inference). `branches` overrides the
-        (box_mods, box_vars, cls_mods, cls_vars) tuple — used for v10's
-        deployed one2one branch; `cls_fn(i, x)` overrides the class branch —
-        used for World's contrastive text scoring."""
+    def _dfl_front(self, head, v, xs, imgsz, branches=None, cls_fn=None):
+        """Shared decode front: branch maps -> flat (B, no, A) -> DFL
+        expectation. Returns (dist (B,4,A) anchor-units, cls logits (B,nc,A),
+        anchors, strides, A). Used by emit_detect and emit_obb."""
         from drone_yolo_tpu.ops.anchors import make_anchors
 
         b = self.b
         box_mods, box_vars, cls_mods, cls_vars = branches or (head.cv2, v["cv2"], head.cv3, v["cv3"])
-        reg, nc, no = head.reg_max, head.nc, head.no
+        reg, no = head.reg_max, head.no
         flats = []
         feat_shapes = []
         for i, x in enumerate(xs):
@@ -396,9 +398,20 @@ class Emitter:
         cls = self._slice_ch(flat, 4 * reg, no)
         shp = b.const(np.array([0, 4, reg, A], np.int64), "shape")
         box4 = b.node("Reshape", [box, shp])  # (B, 4, reg, A)
-        prob = b.node("Softmax", [box4], axis=2)
+        prob = b.node("Softmax", [box4], axis=2)  # per-axis semantics need opset>=13
         rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, 1, reg, 1), "dfl_rng")
-        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng])], axes=[2], keepdims=0)  # (B, 4, A)
+        axes2 = b.const(np.array([2], np.int64), "axes")
+        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng]), axes2], keepdims=0)  # (B, 4, A)
+        return dist, cls, anchors, strides, A
+
+    def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None, cls_fn=None):
+        """Raw maps + in-graph DFL decode -> (B, 4+nc, A), reference Detect
+        export contract (head.py:100 _inference). `branches` overrides the
+        (box_mods, box_vars, cls_mods, cls_vars) tuple — used for v10's
+        deployed one2one branch; `cls_fn(i, x)` overrides the class branch —
+        used for World's contrastive text scoring."""
+        b = self.b
+        dist, cls, anchors, strides, A = self._dfl_front(head, v, xs, imgsz, branches=branches, cls_fn=cls_fn)
 
         anc = np.asarray(anchors, np.float32).T.reshape(1, 2, A)  # (1, 2, A) xy
         anc_n = b.const(anc, "anchors")
@@ -413,7 +426,6 @@ class Emitter:
         dbox = b.node("Mul", [dbox, sn])
         scores = b.node("Sigmoid", [cls])
         return b.node("Concat", [dbox, scores], axis=1, hint="output")  # (B, 4+nc, A)
-
 
     def emit_attention(self, at: M.Attention, v, x):
         """Spatial MHSA (reference block.py:870) in NCHW: qkv conv -> per-head
@@ -554,38 +566,14 @@ class Emitter:
     def emit_obb(self, head: M.OBB, v, xs, imgsz):
         """(B, 4+nc+1, A): rotation-aware box decode (dist2rbox, ops/anchors.py:61)
         + angle channel — reference OBB export contract (head.py:200)."""
-        from drone_yolo_tpu.ops.anchors import make_anchors
-
         b = self.b
-        reg, no = head.reg_max, head.no
         angle_raw = self._branch4(head, v, xs, head.ne, imgsz)  # (B, 1, A)
         sig = b.node("Sigmoid", [angle_raw])
         angle = b.node(
             "Mul",
             [b.node("Sub", [sig, b.const(np.array(0.25, np.float32), "quarter")]), b.const(np.array(np.pi, np.float32), "pi")],
         )
-
-        # raw maps -> (B, no, A), mirroring emit_detect's front half
-        flats = []
-        feat_shapes = []
-        for i, x in enumerate(xs):
-            box = self.emit(head.cv2[i], v["cv2"][str(i)], x)
-            cls = self.emit(head.cv3[i], v["cv3"][str(i)], x)
-            m = b.node("Concat", [box, cls], axis=1)
-            h = int(imgsz // head.stride[i])
-            feat_shapes.append((h, h))
-            shp = b.const(np.array([0, no, h * h], np.int64), "shape")
-            flats.append(b.node("Reshape", [m, shp]))
-        flat = b.node("Concat", flats, axis=2)
-        anchors, strides = make_anchors(feat_shapes, head.stride, 0.5)
-        A = anchors.shape[0]
-
-        box = self._slice_ch(flat, 0, 4 * reg)
-        cls = self._slice_ch(flat, 4 * reg, no)
-        shp = b.const(np.array([0, 4, reg, A], np.int64), "shape")
-        prob = b.node("Softmax", [b.node("Reshape", [box, shp])], axis=2)
-        rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, 1, reg, 1), "dfl_rng")
-        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng])], axes=[2], keepdims=0)  # (B, 4, A)
+        dist, cls, anchors, strides, A = self._dfl_front(head, v, xs, imgsz)
 
         # dist2rbox: rotate the (rb-lt)/2 offset by angle, add anchors; wh = lt+rb
         lt = self._slice_ch(dist, 0, 2)
