@@ -36,8 +36,23 @@ class YOLO:
 
         if model.endswith((".yaml", ".yml")):
             self._new(model, task=task, verbose=verbose)
+        elif self._is_artifact(model):
+            self._load_backend(model, task=task)
         else:
             self._load(model, task=task)
+
+    @staticmethod
+    def _is_artifact(model: str) -> bool:
+        """Export artifacts and serving URLs route through AutoBackend (the
+        reference predictor's primary path, autobackend.py:54): predict/val
+        work on them; train does not."""
+        if model.startswith(("http://", "https://", "grpc://")):
+            return True
+        if model.endswith((".onnx", ".tflite", ".stablehlo")):
+            return True
+        from pathlib import Path as _P
+
+        return _P(model).is_dir() and (_P(model) / "saved_model.pb").exists()
 
     # -- construction -------------------------------------------------------
     def _new(self, cfg: str, task: str | None = None, verbose: bool = False):
@@ -59,6 +74,18 @@ class YOLO:
         self.overrides["model"] = weights
         self.overrides["task"] = self.task
         self.cfg = weights
+
+    def _load_backend(self, path: str, task: str | None = None):
+        """Wrap an exported artifact (onnx/tflite/stablehlo/savedmodel/URL) so
+        predict() and val() run through AutoBackend, like the reference's
+        YOLO('best.onnx') flow."""
+        from drone_yolo_tpu.nn.autobackend import AutoBackend
+
+        self.backend = AutoBackend(path)
+        self.model = None
+        self.task = task or self.backend.task or "detect"
+        self.overrides = {"model": path, "task": self.task}
+        self.cfg = path
 
     def _load_ensemble(self, weights, task: str | None = None):
         """Load several checkpoints as an NMS ensemble (reference
@@ -163,7 +190,7 @@ class YOLO:
         validator_cls = TASK_MAP[self.task]["validator"]
         validator = validator_cls(args=args)
         self._forward_callbacks(validator)
-        validator(model=self)
+        validator(model=getattr(self, "backend", None) or self)
         self.metrics = validator.metrics
         return validator.metrics
 

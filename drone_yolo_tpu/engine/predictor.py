@@ -73,6 +73,7 @@ class BasePredictor(CallbackMixin):
         self.done_warmup = False
         self.facade = None
         self.model = None
+        self.backend = None
         self.variables = None
         self.imgsz = None
         self.source_type = None
@@ -85,12 +86,23 @@ class BasePredictor(CallbackMixin):
 
     # -- model --------------------------------------------------------------
     def setup_model(self, facade, verbose: bool = False):
-        """Bind a YOLO facade; fuse weights for inference."""
+        """Bind a YOLO facade; fuse weights for inference. Facades wrapping an
+        exported artifact (YOLO('best.onnx')) run through AutoBackend instead
+        of the jitted model — the reference predictor's primary path."""
         self.facade = facade
+        self.backend = getattr(facade, "backend", None)
+        if self.backend is not None:
+            self.model = None
+            self.variables = None
+            self.names = self.backend.names
+            self.nc = self.backend.nc
+            return
         self.model = facade.model
         imgsz = self.args.imgsz if isinstance(self.args.imgsz, int) else max(self.args.imgsz)
         facade.ensure_variables(imgsz=imgsz)
         self.variables = self.model.fuse(facade.variables)
+        self.names = self.model.names
+        self.nc = self.model.nc
         from drone_yolo_tpu.utils.checks import resolve_dtype
 
         self.dtype = jnp.bfloat16 if self.args.dtype == "bfloat16" else resolve_dtype(self.args.half)
@@ -104,9 +116,27 @@ class BasePredictor(CallbackMixin):
         iou = float(self.args.iou)
         max_det = int(self.args.max_det)
         agnostic = bool(self.args.agnostic_nms)
-        cmask = class_mask(self.args.classes, self.model.nc) if self.args.classes is not None else None
-        nc = self.model.nc
+        nc = self.nc
+        cmask = class_mask(self.args.classes, nc) if self.args.classes is not None else None
         pre_topk = min(int(self.args.pre_nms_topk), 1024)
+
+        if self.backend is not None:
+            backend = self.backend
+            nms = jax.jit(
+                lambda preds: non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk,
+                    nc=nc, multi_label=False, agnostic=agnostic, classes=cmask,
+                )
+            )
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                if isinstance(out, (list, tuple)):  # multi-output artifacts: element 0 is detection
+                    out = out[0]
+                return nms(jnp.asarray(self.adapt_raw(out)))
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
 
         end2end = isinstance(getattr(self.model, "head", None), M.v10Detect)
         augment = bool(self.args.augment) and hasattr(self.model, "predict_augmented") and not end2end
@@ -192,7 +222,7 @@ class BasePredictor(CallbackMixin):
             d = dets[i, : int(n_valid[i])].copy()
             if len(d):
                 d[:, :4] = np.asarray(scale_boxes(x_shape, d[:, :4], im0.shape[:2]))
-            results.append(Results(im0, path, self.model.names, boxes=d))
+            results.append(Results(im0, path, self.names, boxes=d))
         return results
 
     def __call__(self, source=None, stream: bool = False):

@@ -182,3 +182,24 @@ def test_rf100_benchmark_local_manifest(tmp_path):
     v = rf.evaluate(cfgs[0], m, str(log), 0, imgsz=64)
     assert isinstance(v, float)
     assert log.read_text().startswith("ds_a:")
+
+
+def test_facade_predict_on_artifact(tmp_path):
+    """YOLO('best.onnx').predict(...) — the reference's primary AutoBackend
+    flow: the facade wraps the artifact and the predictor routes inference
+    through it (no jitted model)."""
+    import cv2
+
+    from drone_yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    f = str(tmp_path / "img.jpg")
+    cv2.imwrite(f, img)
+
+    m2 = YOLO(str(path))
+    assert m2.task == "detect" and m2.model is None and m2.backend is not None
+    res = m2.predict(f, imgsz=64, verbose=False)
+    assert len(res) == 1 and res[0].boxes is not None
+    assert len(m2.backend.names) == 80
