@@ -94,6 +94,19 @@ class ClassificationPredictor(BasePredictor):
         key = ("cls", shape)
         if key in self._jit_cache:
             return self._jit_cache[key]
+
+        if self.backend is not None:  # exported artifact: (B, nc) probabilities
+            backend = self.backend
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return jnp.asarray(out), jnp.zeros((np.asarray(x).shape[0],), jnp.int32)
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
+
         model = self.model
 
         @jax.jit
@@ -123,6 +136,6 @@ class ClassificationPredictor(BasePredictor):
     def postprocess(self, probs, n_valid, x_shape, orig_imgs, paths):
         probs = np.asarray(probs)
         return [
-            Results(im0, path, self.model.names, probs=probs[i])
+            Results(im0, path, self.names, probs=probs[i])
             for i, (im0, path) in enumerate(zip(orig_imgs, paths))
         ]

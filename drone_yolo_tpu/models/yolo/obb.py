@@ -69,10 +69,26 @@ class OBBPredictor(BasePredictor):
         if key in self._jit_cache:
             return self._jit_cache[key]
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
-        model = self.model
-        nc = model.nc
-        dtype = self.dtype
+        nc = self.nc
         pre_topk = min(int(self.args.pre_nms_topk), 1024)
+
+        if self.backend is not None:  # exported artifact: (B, A, 4+nc+1) with angle last
+            backend = self.backend
+            rnms = jax.jit(
+                lambda preds: nms_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc)
+            )
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return rnms(jnp.asarray(out))
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
+
+        model = self.model
+        dtype = self.dtype
 
         @jax.jit
         def fn(variables, x):
@@ -97,7 +113,7 @@ class OBBPredictor(BasePredictor):
                 d[:, 0] = (d[:, 0] - pad_w) / gain
                 d[:, 1] = (d[:, 1] - pad_h) / gain
                 d[:, 2:4] /= gain
-            results.append(Results(im0, path, self.model.names, obb=d))
+            results.append(Results(im0, path, self.names, obb=d))
         return results
 
 

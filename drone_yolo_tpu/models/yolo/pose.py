@@ -56,7 +56,7 @@ class PosePredictor(BasePredictor):
                 kpts = d[:, 6:].reshape(n, nk, nd)
                 kpts = _scale_kpts(kpts, x_shape, im0.shape[:2])
                 d[:, :4] = np.asarray(scale_boxes(x_shape, d[:, :4], im0.shape[:2]))
-            results.append(Results(im0, path, self.model.names, boxes=d[:, :6] if n else d, keypoints=kpts))
+            results.append(Results(im0, path, self.names, boxes=d[:, :6] if n else d, keypoints=kpts))
         return results
 
 

@@ -35,10 +35,28 @@ class SegmentationPredictor(BasePredictor):
         if key in self._jit_cache:
             return self._jit_cache[key]
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
-        nc = self.model.nc
+        nc = self.nc
+        pre_topk = min(int(self.args.pre_nms_topk), 1024)
+
+        if self.backend is not None:  # exported artifact: protos ride as output1
+            backend = self.backend
+            nms = jax.jit(
+                lambda preds: non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc
+                )
+            )
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                assert isinstance(out, (list, tuple)) and len(out) >= 2, "segment artifact must emit protos (output1)"
+                dets, n = nms(jnp.asarray(out[0]))
+                return (dets, jnp.asarray(out[1])), n
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
+
         model = self.model
         dtype = self.dtype
-        pre_topk = min(int(self.args.pre_nms_topk), 1024)
 
         @jax.jit
         def fn(variables, x):
@@ -68,7 +86,7 @@ class SegmentationPredictor(BasePredictor):
                 )
                 masks = scale_masks_np(m, im0.shape[:2], x_shape, None) > 0.5
                 d[:, :4] = np.asarray(scale_boxes(x_shape, d[:, :4], im0.shape[:2]))
-            results.append(Results(im0, path, self.model.names, boxes=d[:, :6] if n else d, masks=masks))
+            results.append(Results(im0, path, self.names, boxes=d[:, :6] if n else d, masks=masks))
         return results
 
 

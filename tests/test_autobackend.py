@@ -203,3 +203,25 @@ def test_facade_predict_on_artifact(tmp_path):
     res = m2.predict(f, imgsz=64, verbose=False)
     assert len(res) == 1 and res[0].boxes is not None
     assert len(m2.backend.names) == 80
+
+
+def test_facade_predict_segment_artifact(tmp_path):
+    """YOLO('seg.onnx').predict(...): the segment predictor consumes the
+    artifact's two outputs (dets + protos) and reconstructs masks."""
+    import cv2
+
+    from drone_yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    f = str(tmp_path / "img.jpg")
+    cv2.imwrite(f, img)
+
+    m2 = YOLO(str(path))
+    assert m2.task == "segment"
+    res = m2.predict(f, imgsz=64, verbose=False, conf=0.001)
+    r = res[0]
+    assert r.boxes is not None
+    if len(r.boxes.data):  # random init: usually a few low-conf dets
+        assert r.masks is not None and r.masks.data.shape[1:] == (64, 64)
