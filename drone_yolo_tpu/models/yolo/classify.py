@@ -48,13 +48,22 @@ class ClassificationValidator(BaseValidator):
         self.args.task = "classify"
 
     def __call__(self, model=None, variables=None):
+        from drone_yolo_tpu.nn.autobackend import AutoBackend
+
         facade = model
-        self.model = facade.model
+        backend = facade if isinstance(facade, AutoBackend) else getattr(facade, "backend", None)
         imgsz = int(self.args.imgsz)
-        if variables is None:
-            facade.ensure_variables(imgsz=imgsz)
-            variables = self.model.fuse(facade.variables)
-        self.variables = variables
+        if backend is not None:
+            self.model = None
+            self.variables = None
+            nc = backend.nc
+        else:
+            self.model = facade.model
+            if variables is None:
+                facade.ensure_variables(imgsz=imgsz)
+                variables = self.model.fuse(facade.variables)
+            self.variables = variables
+            nc = self.model.nc
 
         if self.dataloader is None:
             data = check_cls_dataset(self.args.data)
@@ -62,13 +71,21 @@ class ClassificationValidator(BaseValidator):
             self.dataloader = DataLoader(ds, batch_size=int(self.args.batch), shuffle=False, drop_last=False)
             self.names = data["names"]
 
-        model_ = self.model
-        topk = min(5, self.model.nc)
+        topk = min(5, nc)
+        if backend is not None:
 
-        @jax.jit
-        def fn(variables, x):
-            probs = model_.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
-            return jax.lax.top_k(probs, topk)
+            def fn(_variables, x):
+                probs = np.asarray(backend(np.asarray(x, np.float32)))
+                top = np.argsort(-probs, axis=1)[:, :topk]
+                return None, top
+
+        else:
+            model_ = self.model
+
+            @jax.jit
+            def fn(variables, x):
+                probs = model_.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.float32))
+                return jax.lax.top_k(probs, topk)
 
         preds, targets = [], []
         t0 = time.perf_counter()
