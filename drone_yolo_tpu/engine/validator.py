@@ -75,6 +75,11 @@ class BaseValidator(CallbackMixin):
             self.names = self.backend.names
             self.variables = variables = None
             stride_max = int(max(self.backend.stride))
+            if getattr(self.args, "rect", False):
+                # exported artifacts are compiled for ONE input shape; rect-val
+                # shape buckets would feed shapes the graph cannot accept
+                LOGGER.info("rect=True disabled for fixed-shape backend artifact (square letterbox val)")
+                self.args.rect = False
         else:
             self.model = facade.model
             self.nc = self.model.nc

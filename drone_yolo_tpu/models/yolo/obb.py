@@ -135,6 +135,23 @@ class OBBValidator(BaseValidator):
         pre_topk = int(self.args.pre_nms_topk)
         from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
+        if getattr(self, "backend", None) is not None:  # exported artifact: (B, A, 4+nc+1)
+            backend = self.backend
+            rnms = jax.jit(
+                lambda preds: nms_rotated(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc, multi_label=True
+                )
+            )
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return rnms(jnp.asarray(out))
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
+
         @jax.jit
         def fn(variables, x):
             preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))

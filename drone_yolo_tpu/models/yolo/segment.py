@@ -108,6 +108,23 @@ class SegmentationValidator(BaseValidator):
         pre_topk = int(self.args.pre_nms_topk)
         from drone_yolo_tpu.utils.checks import resolve_dtype as _rd; dtype = _rd(self.args.half)
 
+        if getattr(self, "backend", None) is not None:  # exported artifact: dets + output1 protos
+            backend = self.backend
+            nms = jax.jit(
+                lambda preds: non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_topk=pre_topk, nc=nc, multi_label=True
+                )
+            )
+
+            def backend_fn(_variables, x):
+                out = backend(np.asarray(x, np.float32))
+                assert isinstance(out, (list, tuple)) and len(out) >= 2, "segment artifact must emit protos (output1)"
+                dets, n = nms(jnp.asarray(out[0]))
+                return (dets, jnp.asarray(out[1])), n
+
+            self._jit_cache[key] = backend_fn
+            return backend_fn
+
         @jax.jit
         def fn(variables, x):
             preds, aux = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=dtype))

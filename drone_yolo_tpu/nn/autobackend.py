@@ -212,7 +212,7 @@ class AutoBackend:
 
     @property
     def stride(self):
-        return np.asarray(self.meta.get("stride") or [32.0], np.float32)
+        return np.atleast_1d(np.asarray(self.meta.get("stride") or [32.0], np.float32))
 
     def __call__(self, x):
         """x: (B, H, W, 3) float32 in [0, 1] -> raw predictions."""
