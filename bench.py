@@ -35,20 +35,33 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
-    pre_topk = int(os.environ.get("BENCH_PRETOPK", 512))
+    # 384 = smallest lane-aligned K that keeps pre-NMS candidates >= max_det=300;
+    # sweep on-chip (ROUND3.md): 256 -> 3015, 384 -> 2983, 512 -> 2963, 1024 -> 2788 img/s
+    pre_topk = int(os.environ.get("BENCH_PRETOPK", 384))
     with_nms = os.environ.get("BENCH_NMS", "1") != "0"
 
     model = DetectionModel(model_name)
     variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
 
+    u8 = os.environ.get("BENCH_U8", "1") != "0"
+
     @jax.jit
     def fn(variables, x):
+        if u8:
+            # deployment contract (predictor.preprocess): host ships raw uint8,
+            # normalization runs in-graph in the compute dtype — one fused pass
+            # reading 1 byte/px instead of materializing a full f32 tensor
+            x = x.astype(jnp.bfloat16) / 255.0
         preds, _ = model.apply(variables, x, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
         if not with_nms:  # NMS-share measurement (BENCH_NMS=0): raw head only
             return preds, jnp.zeros((preds.shape[0],), jnp.int32)
         return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=pre_topk)
 
-    x = jnp.asarray(np.random.default_rng(0).random((batch, imgsz, imgsz, 3), np.float32))
+    rng = np.random.default_rng(0)
+    if u8:
+        x = jnp.asarray(rng.integers(0, 256, (batch, imgsz, imgsz, 3), np.uint8))
+    else:
+        x = jnp.asarray(rng.random((batch, imgsz, imgsz, 3), np.float32))
     variables = jax.device_put(variables)
 
     # warmup + compile; completion is forced with a host fetch because

@@ -116,10 +116,11 @@ def build_infer(model_name: str, imgsz: int, nc: int):
 
     @jax.jit
     def step(params, batch, _mom):
-        preds = model.apply(params, batch["img"] / 255.0, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
+        # deployment contract (bench.py / predictor): uint8 in, normalize in-graph
+        preds = model.apply(params, batch["img"].astype(jnp.bfloat16) / 255.0, ctx=M.Ctx(train=False, dtype=jnp.bfloat16))
         if isinstance(preds, tuple):
             preds = preds[0]
-        dets, n = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=512)
+        dets, n = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_topk=384)
         return params, jnp.sum(n).astype(jnp.float32), n
 
     return model, variables, step
@@ -133,6 +134,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--infer", action="store_true", help="profile fused inference+NMS instead of the train step")
+    ap.add_argument("--nc", type=int, default=4, help="class count (use 80 to match bench.py's head shapes)")
     args = ap.parse_args()
 
     import jax
@@ -142,10 +144,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
 
     build = build_infer if args.infer else build_step
-    model, variables, step = build(args.model, args.imgsz, nc=4)
+    model, variables, step = build(args.model, args.imgsz, nc=args.nc)
     rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 255, (args.batch, args.imgsz, args.imgsz, 3), np.uint8)
     batch = {
-        "img": jnp.asarray(rng.integers(0, 255, (args.batch, args.imgsz, args.imgsz, 3), np.uint8).astype(np.float32)),
+        "img": jnp.asarray(img_u8) if args.infer else jnp.asarray(img_u8.astype(np.float32)),
         "cls": jnp.zeros((args.batch, 32), jnp.float32),
         "bboxes": jnp.asarray(np.tile(np.array([10, 10, 100, 100], np.float32), (args.batch, 32, 1))),
         "mask": jnp.ones((args.batch, 32), jnp.float32),
