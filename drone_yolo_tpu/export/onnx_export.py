@@ -40,6 +40,7 @@ class Builder:
     def __init__(self, graph_name="drone_yolo_tpu"):
         self.nodes = []
         self.inits = []
+        self._init_dims = {}  # initializer name -> dims (for kernel_shape inference)
         self._n = 0
 
     def name(self, hint="t"):
@@ -58,9 +59,17 @@ class Builder:
             t.data_type = FLOAT
         t.raw_data = arr.tobytes()
         self.inits.append(t)
+        self._init_dims[t.name] = tuple(arr.shape)
         return t.name
 
     def node(self, op, inputs, n_out=1, hint=None, **attrs):
+        if op in ("Conv", "ConvTranspose") and "kernel_shape" not in attrs:
+            # kernel_shape is optional per spec (inferable from the weight
+            # tensor) but required by older importers (OpenCV <4.7 C++ DNN);
+            # emit it whenever the weight is one of our constants
+            dims = self._init_dims.get(inputs[1])
+            if dims is not None and len(dims) == 4:
+                attrs["kernel_shape"] = list(dims[2:])
         nd = O.NodeProto()
         nd.op_type = op
         nd.name = self.name(op)
@@ -398,10 +407,18 @@ class Emitter:
         cls = self._slice_ch(flat, 4 * reg, no)
         shp = b.const(np.array([0, 4, reg, A], np.int64), "shape")
         box4 = b.node("Reshape", [box, shp])  # (B, 4, reg, A)
-        prob = b.node("Softmax", [box4], axis=2)  # per-axis semantics need opset>=13
-        rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, 1, reg, 1), "dfl_rng")
-        axes2 = b.const(np.array([2], np.int64), "axes")
-        dist = b.node("ReduceSum", [b.node("Mul", [prob, rng]), axes2], keepdims=0)  # (B, 4, A)
+        # DFL expectation sum_r prob[r]*r emitted the way the reference's DFL
+        # module computes it (nn/modules/block.py:58): channel softmax over the
+        # reg bins followed by a frozen 1x1 Conv whose weight is arange(reg).
+        # Conv + channel-Softmax are the two best-supported ops in legacy
+        # importers (OpenCV <4.7 C++ DNN rejects opset-13 ReduceSum and
+        # asserts on 4-D MatMul with a 2-D constant).
+        regT = b.node("Transpose", [box4], perm=[0, 2, 1, 3])  # (B, reg, 4, A)
+        prob = b.node("Softmax", [regT], axis=1)
+        rng = b.const(np.arange(reg, dtype=np.float32).reshape(1, reg, 1, 1), "dfl_rng")
+        ev = b.node("Conv", [prob, rng], strides=[1, 1], pads=[0, 0, 0, 0], group=1, dilations=[1, 1])  # (B, 1, 4, A)
+        shp2 = b.const(np.array([0, 4, A], np.int64), "shape")
+        dist = b.node("Reshape", [ev, shp2])  # (B, 4, A)
         return dist, cls, anchors, strides, A
 
     def emit_detect(self, head: M.Detect, v, xs, imgsz, branches=None, cls_fn=None):
@@ -422,7 +439,10 @@ class Emitter:
         cxy = b.node("Mul", [b.node("Add", [x1y1, x2y2]), b.const(np.array(0.5, np.float32), "half")])
         wh = b.node("Sub", [x2y2, x1y1])
         dbox = b.node("Concat", [cxy, wh], axis=1)  # (B, 4, A) xywh
-        sn = b.const(np.asarray(strides, np.float32).reshape(1, 1, A), "strides")
+        # strides tiled to the full channel dim: legacy importers (OpenCV <4.7)
+        # lower Mul-by-const to a Scale layer that cannot broadcast (1,1,A)
+        # across the box channels
+        sn = b.const(np.tile(np.asarray(strides, np.float32).reshape(1, 1, A), (1, 4, 1)), "strides")
         dbox = b.node("Mul", [dbox, sn])
         scores = b.node("Sigmoid", [cls])
         return b.node("Concat", [dbox, scores], axis=1, hint="output")  # (B, 4+nc, A)

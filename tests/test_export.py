@@ -1,5 +1,7 @@
 """Export formats: stablehlo (always), savedmodel/tflite (gated on tensorflow)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -296,3 +298,29 @@ def test_onnx_world_baked_vocabulary(tmp_path):
     v = m.model.fuse(m.ensure_variables())
     live, _ = m.model.apply(v, jnp.asarray(x), ctx=M.Ctx(train=False, dtype=jnp.float32))
     np.testing.assert_allclose(out, np.asarray(live).transpose(0, 2, 1), rtol=1e-3, atol=1e-3)
+
+
+def test_onnx_legacy_importer_contract(tmp_path):
+    """Structural contract for legacy importers (OpenCV <4.7 C++ DNN, verified
+    end-to-end against system OpenCV 4.6): every Conv/ConvTranspose node
+    carries the optional-per-spec kernel_shape attribute, the DFL expectation
+    is a channel-Softmax + 1x1 Conv (the reference's own DFL formulation,
+    block.py:58 — no opset-13 ReduceSum, no 4-D MatMul-with-constant), and the
+    stride scaling constant is tiled across the 4 box channels (legacy Scale
+    layers cannot broadcast (1,1,A))."""
+    from drone_yolo_tpu import YOLO
+    from drone_yolo_tpu.export import onnx_export as OE
+
+    m = YOLO("yolov8n.yaml")
+    path = m.export(format="onnx", imgsz=64, batch=1, project=str(tmp_path))
+    model = OE.O.ModelProto()
+    model.ParseFromString(Path(path).read_bytes())
+    g = model.graph
+    convs = [n for n in g.node if n.op_type in ("Conv", "ConvTranspose")]
+    assert convs, "graph has no Conv nodes?"
+    for n in convs:
+        assert any(a.name == "kernel_shape" for a in n.attribute), n.name
+    assert not any(n.op_type in ("ReduceSum", "MatMul") for n in g.node)
+    inits = {t.name: t for t in g.initializer}
+    stride_consts = [t for name, t in inits.items() if "strides" in name]
+    assert stride_consts and all(list(t.dims)[:2] == [1, 4] for t in stride_consts)
