@@ -220,7 +220,10 @@ class BaseTrainer(CallbackMixin):
             "count": jnp.zeros((), jnp.int32),
             "step": jnp.zeros((), jnp.int32),  # optimizer steps (EMA ramp counter)
         }
-        self.state = place_state(self.state, self.mesh)
+        self.zero = bool(getattr(self.args, "zero", False))
+        if self.zero:
+            LOGGER.info("zero=True: optimizer/EMA/accumulator state sharded over the data axis (ZeRO-style)")
+        self.state = place_state(self.state, self.mesh, zero=self.zero)
         self._build_train_step()
         self.resume_training()
         self.run_callbacks("on_pretrain_routine_end")
@@ -302,7 +305,17 @@ class BaseTrainer(CallbackMixin):
             }
             return new_state, loss, items
 
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz",))
+        if getattr(self, "zero", False):
+            # pin the output state to the input shardings: without this the
+            # partitioner may choose to all-gather the sharded moments back to
+            # replicated at the step boundary, silently undoing the memory win
+            state_sh = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
+            self.train_step = jax.jit(
+                step_fn, donate_argnums=(0,), static_argnames=("target_sz",),
+                out_shardings=(state_sh, None, None),
+            )
+        else:
+            self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz",))
 
     def preprocess_batch(self, batch):
         """uint8 HWC host batch -> sharded device arrays (normalize in-graph)."""
@@ -467,6 +480,7 @@ class BaseTrainer(CallbackMixin):
                 "step": jnp.asarray(tree["step"]),
             },
             self.mesh,
+            zero=getattr(self, "zero", False),
         )
         self.start_epoch = int(tree["epoch"]) + 1
         LOGGER.info(f"Resuming training from epoch {self.start_epoch}")

@@ -46,26 +46,55 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def place_state(state, mesh: Mesh):
+def place_state(state, mesh: Mesh, zero: bool = False):
     """Place a train-state pytree on the mesh.
 
     1-D ("data") mesh: fully replicated (pure DP). With a "model" axis, wide
     conv kernels (HWIO) and matching channel vectors are sharded over it —
     tensor parallelism by annotation only; XLA GSPMD inserts the collectives.
+
+    zero=True (ZeRO-style sharded train state — beyond-reference; the torch
+    analog is ZeRO-1/2, which torch DDP in the reference does not offer):
+    every top-level subtree EXCEPT "params" (optimizer moments, EMA weights,
+    gradient-accumulation buffers) shards its leaves over the "data" axis —
+    each leaf on its trailing divisible dim (channel-major, so shards stay
+    layout-contiguous). Params stay replicated, so forward/backward need no
+    gathers; XLA GSPMD reduce-scatters gradients into the sharded accumulator
+    and the elementwise optimizer update runs on 1/N of the state per device.
+    Per-device train-state memory drops from ~5x params to ~(1 + 4/N)x.
     """
-    if "model" not in mesh.axis_names:
-        return jax.device_put(state, replicate(mesh))
-    tp = mesh.shape["model"]
+    tp = mesh.shape["model"] if "model" in mesh.axis_names else 1
+    dsize = mesh.shape["data"] if "data" in mesh.axis_names else 1
     rep = replicate(mesh)
 
     def place(x):
-        if getattr(x, "ndim", 0) == 4 and x.shape[-1] % tp == 0 and x.shape[-1] >= 64:
-            return jax.device_put(x, NamedSharding(mesh, P(None, None, None, "model")))
-        if getattr(x, "ndim", 0) == 1 and x.shape[0] % tp == 0 and x.shape[0] >= 64:
-            return jax.device_put(x, NamedSharding(mesh, P("model")))
+        if tp > 1:
+            if getattr(x, "ndim", 0) == 4 and x.shape[-1] % tp == 0 and x.shape[-1] >= 64:
+                return jax.device_put(x, NamedSharding(mesh, P(None, None, None, "model")))
+            if getattr(x, "ndim", 0) == 1 and x.shape[0] % tp == 0 and x.shape[0] >= 64:
+                return jax.device_put(x, NamedSharding(mesh, P("model")))
         return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(place, state)
+    if not (zero and dsize > 1 and isinstance(state, dict)):
+        return jax.tree_util.tree_map(place, state)
+
+    def place_zero(x):
+        nd = getattr(x, "ndim", 0)
+        if nd:
+            if tp > 1 and x.shape[-1] % (tp * dsize) == 0 and x.shape[-1] >= 64:
+                spec = [None] * (nd - 1) + [("model", "data")]
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+            for d in range(nd - 1, -1, -1):  # trailing (channel) dim first
+                if x.shape[d] and x.shape[d] % dsize == 0:
+                    spec = [None] * nd
+                    spec[d] = "data"
+                    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return place(x)
+
+    return {
+        k: jax.tree_util.tree_map(place if k == "params" else place_zero, v)
+        for k, v in state.items()
+    }
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
