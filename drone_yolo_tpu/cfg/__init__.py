@@ -58,7 +58,7 @@ CFG_FRACTION_KEYS = {
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det",
-    "vid_stride", "line_width", "nbs", "save_period", "prefetch", "pre_nms_topk", "tp",
+    "vid_stride", "line_width", "nbs", "save_period", "prefetch", "pre_nms_topk", "tp", "sp",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",

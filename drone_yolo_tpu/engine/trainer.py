@@ -166,9 +166,26 @@ class BaseTrainer(CallbackMixin):
             self.batch_size = max(n_dev, self.batch_size // n_dev * n_dev)
             LOGGER.warning(f"batch {old} not divisible by {n_dev} devices; using {self.batch_size}")
         tp = max(int(getattr(self.args, "tp", 1) or 1), 1)
-        if tp > 1:
+        sp = max(int(getattr(self.args, "sp", 1) or 1), 1)
+        assert n_dev % (tp * sp) == 0, f"tp={tp} * sp={sp} must divide device count {n_dev}"
+        if sp > 1:
+            # spatial partitioning (SURVEY §5.7's sequence-parallel analog):
+            # activations shard their H dim over "space"; GSPMD inserts the
+            # conv halo exchanges. Composes with DP (and TP via "model").
+            # >= 2 rows per shard at the deepest (stride-32) map: XLA GSPMD
+            # mis-reduces the chained-conv+residual backward (grad x data-axis)
+            # when the stride-32 H collapses to 2 with sp=2 (probed in
+            # tests/test_sp.py); 2-row shards verified exact at sp=2 and sp=4
+            assert int(self.args.imgsz) % (sp * 64) == 0, (
+                f"imgsz={self.args.imgsz} must divide into {sp} stride-32 shards of >= 2 rows "
+                f"(imgsz % {sp * 64} == 0)"
+            )
+            M.set_sp_safe_pool(True)  # SelectAndScatter mispartitions under "space"
+            axes = ("data", "space") if tp == 1 else ("data", "space", "model")
+            shape = (n_dev // (tp * sp), sp) + ((tp,) if tp > 1 else ())
+            self.mesh = make_mesh(shape=shape, axes=axes, devices=devices)
+        elif tp > 1:
             # hybrid DP x TP: wide conv kernels shard over "model" (place_state)
-            assert n_dev % tp == 0, f"tp={tp} must divide device count {n_dev}"
             self.mesh = make_mesh(shape=(n_dev // tp, tp), axes=("data", "model"), devices=devices)
         else:
             self.mesh = make_mesh(devices=devices)

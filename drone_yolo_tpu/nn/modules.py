@@ -166,6 +166,26 @@ def conv2d(x, w, s: int = 1, p: int = 0, d: int = 1, g: int = 1):
     )
 
 
+SP_SAFE_POOL = False
+
+
+def set_sp_safe_pool(enable: bool) -> None:
+    """Route max pooling through the shifted-slice/argmax formulation whose
+    backward partitions exactly under a "space" mesh axis.
+
+    GSPMD mispartitions SelectAndScatter — the reduce-window-max VJP — when
+    the H dim is sharded (measured 1.9e-1 rel grad error; conv/BN/resize/
+    avg-pool all partition exactly). The replacement stacks the k*k shifted
+    slices and gathers the FIRST max per window (row-major window order, the
+    same tie-break SelectAndScatter uses), so values AND tie subgradients are
+    bit-identical to the default path on one device, and exact (~2e-7) under
+    spatial sharding. Set by the trainer when sp>1 and by spatial_forward;
+    affects subsequently TRACED functions only.
+    """
+    global SP_SAFE_POOL
+    SP_SAFE_POOL = enable
+
+
 def max_pool2d(x, k: int, s: int = 1, p: int = 0):
     """NHWC max pool with torch-style symmetric padding.
 
@@ -174,6 +194,23 @@ def max_pool2d(x, k: int, s: int = 1, p: int = 0):
     and falls back to a non-differentiable generic path otherwise.
     """
     neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if SP_SAFE_POOL:
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg) if p else x
+        oh = (xp.shape[1] - k) // s + 1
+        ow = (xp.shape[2] - k) // s + 1
+        sls = [
+            jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (xp.shape[0], dy + (oh - 1) * s + 1, dx + (ow - 1) * s + 1, xp.shape[3]),
+                (1, s, s, 1),
+            )
+            for dy in range(k)
+            for dx in range(k)
+        ]
+        stk = jnp.stack(sls)  # (k*k, B, oh, ow, C) — row-major window order
+        idx = jnp.argmax(stk, axis=0)  # first max == SelectAndScatter tie order
+        return jnp.take_along_axis(stk, idx[None], axis=0)[0]
     return jax.lax.reduce_window(
         x,
         neg,
@@ -2049,8 +2086,7 @@ class ResNetLayer(Module):
     def __call__(self, v, x, ctx: Ctx):
         if self.is_first:
             y = self.stem(v["stem"], x, ctx)
-            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-            return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+            return max_pool2d(y, 3, 2, 1)
         for i, b in enumerate(self.blocks):
             x = b(v["blocks"][str(i)], x, ctx)
         return x

@@ -113,10 +113,25 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     sh = data_sharding(mesh, axis)
     rep = replicate(mesh)
     nproc = jax.process_count()
+    # spatial partitioning (the CNN analog of sequence parallelism, SURVEY
+    # §5.7): with a "space" mesh axis, image tensors additionally shard their
+    # H dim — GSPMD inserts the conv halo exchanges; semantics are EXACT
+    # (unlike tiled/SAHI inference there is no boundary approximation)
+    sp = mesh.shape["space"] if "space" in mesh.axis_names else 1
+    img_sh = NamedSharding(mesh, P(axis, "space")) if sp > 1 else sh
     out = {}
     for k, v in batch.items():
         if not isinstance(v, np.ndarray):
             out[k] = v  # host-side metadata (paths, shapes)
+        elif (
+            k == "img" and v.ndim == 4 and sp > 1
+            and (v.shape[0] * nproc) % mesh.shape[axis] == 0 and v.shape[1] % sp == 0
+        ):
+            if nproc > 1:
+                global_shape = (v.shape[0] * nproc, *v.shape[1:])
+                out[k] = jax.make_array_from_process_local_data(img_sh, v, global_shape)
+            else:
+                out[k] = jax.device_put(v, img_sh)
         elif v.ndim >= 1 and (v.shape[0] * nproc) % mesh.shape[axis] == 0:
             if nproc > 1:
                 global_shape = (v.shape[0] * nproc, *v.shape[1:])
