@@ -80,7 +80,11 @@ class YOLODataset:
         self.buffer: list = []
         self._buffer_ims: dict = {}
         self._buffer_lock = threading.Lock()
-        self.max_buffer_length = min(self.ni, batch_size * 8, 1000) if augment else 0
+        # device_aug: random transforms run on-device (data/device_aug.py); the
+        # host path is decode + letterbox only (train interpolation preserved),
+        # so the mosaic companion buffer is pointless and stays off
+        self.device_aug = augment and hyp is not None and bool(getattr(hyp, "device_aug", False))
+        self.max_buffer_length = min(self.ni, batch_size * 8, 1000) if augment and not self.device_aug else 0
         # per-sample deterministic augmentation (augment.seed_sample): the
         # loader sets epoch + a per-thread companion window before each sample
         self.epoch = 0
@@ -96,8 +100,10 @@ class YOLODataset:
         # multiplies every bs x labels x anchors assigner tensor, so a blanket
         # 5x on dense datasets (100+ obj/img) would inflate TAL memory/compile 5x
         n_max = max((len(l["cls"]) for l in self.labels), default=1)
-        mosaic_on = augment and hyp is not None and (getattr(hyp, "mosaic", 0) or 0) > 0
-        mixup_on = augment and hyp is not None and (getattr(hyp, "mixup", 0) or 0) > 0
+        # device_aug expands GT slots x4 on device, so the host pads without
+        # mosaic headroom (the TAL tensors see 4*M either way)
+        mosaic_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mosaic", 0) or 0) > 0
+        mixup_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mixup", 0) or 0) > 0
         headroom = (5 if mixup_on else 4) if mosaic_on else (2 if mixup_on else 1.25)
         self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * headroom, 1))))), 2048)
         self.transforms = self.build_transforms(hyp)
@@ -319,15 +325,17 @@ class YOLODataset:
 
     # -- transforms -------------------------------------------------------------
     def build_transforms(self, hyp=None):
-        """Train: v8_transforms; val: LetterBox only (reference dataset.py:174)."""
-        if self.augment and hyp is not None:
+        """Train: v8_transforms; val: LetterBox only (reference dataset.py:174).
+        device_aug train: LetterBox only too (scaleup like train), randomness
+        happens inside the jitted step (data/device_aug.py)."""
+        if self.augment and hyp is not None and not getattr(self, "device_aug", False):
             t = v8_transforms(self, self.imgsz, hyp, stretch=self.stretch)
         elif self.stretch:
             from drone_yolo_tpu.data.augment import StretchResizeT
 
             t = Compose([StretchResizeT((self.imgsz, self.imgsz))])
         else:
-            t = Compose([LetterBoxT((self.imgsz, self.imgsz), scaleup=False)])
+            t = Compose([LetterBoxT((self.imgsz, self.imgsz), scaleup=getattr(self, "device_aug", False))])
         return t
 
     def close_mosaic(self, hyp):

@@ -1,0 +1,261 @@
+"""On-device training augmentation: mosaic + affine + HSV + flip inside the jitted step.
+
+The BASELINE.json north-star asks for the reference's host-side loader chain
+(mosaic, affine jitter, HSV, normalize — `ultralytics/data/augment.py:490,952,1303`)
+to become "a fused on-device preprocessing kernel chain". This module is that
+chain, as an opt-in fast path (`device_aug=True`): the host ships letterboxed
+UN-augmented uint8 images (decode + letterbox + collate only), and every
+random transform runs on the TPU inside the train step.
+
+TPU-first design decisions:
+
+* **No canvas materialization.** The reference builds a (2S, 2S) mosaic canvas
+  then warps it down to S (`augment.py:658`, RandomPerspective border=-S/2).
+  A (B, 2S, 2S, 3) fp32 canvas at B=128, S=640 would be 2.5 GB of HBM. Since
+  the default affine is scale+translate only (degrees/shear/perspective all 0
+  in default.yaml), the warp is `jax.image.scale_and_translate` — a LINEAR
+  map — so resize(canvas) == Σ_k resize(quadrant_k zero-embedded), and each
+  term is just the source image with a shifted translation. Four separable
+  S→S resizes (each a pair of small matmul contractions, MXU-friendly),
+  exact to the canvas formulation, zero canvas memory. Uncovered output
+  (scale < 1) gets the reference's gray 114 via a coverage-weighted fill
+  computed with one extra single-channel resize.
+* **Mosaic companions come from the batch** (rolled indices) instead of the
+  host-side decoded-image buffer — the device has no dataset to sample from.
+  Distribution-wise this is in-batch mosaic (companions are the 3 next
+  samples of the shuffled batch); the host path keeps reference buffer
+  semantics (`data/base.py:176`).
+* **Per-step determinism independent of host state**: all randomness derives
+  from `fold_in(seed, step)`, so a resumed run continues the exact stream and
+  worker count can never change results (stronger than the reference's
+  per-worker seeding).
+* Degenerate-box filtering is the reference's box_candidates
+  (`augment.py:1280`: w,h > 2px, area ratio > 0.1, aspect < 100) as a mask
+  update — shapes stay static at 4M (mosaic) / M (closed) GT slots.
+
+Scope: detect task (the flagship pipeline). Keypoints/segments/OBB keep the
+host path (`device_aug` is ignored with a warning).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+GRAY = 114.0
+
+
+# ---------------------------------------------------------------------------
+# HSV round-trip (cv2 conventions: H in [0, 180), S/V in [0, 255])
+# ---------------------------------------------------------------------------
+def rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    d = maxc - minc
+    safe = jnp.where(d == 0, 1.0, d)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(d == 0, 0.0, (h / 6.0) % 1.0) * 180.0
+    s = jnp.where(maxc == 0, 0.0, d / jnp.where(maxc == 0, 1.0, maxc)) * 255.0
+    return jnp.stack([h, s, maxc], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0] / 180.0 * 6.0, hsv[..., 1] / 255.0, hsv[..., 2]
+    i = jnp.floor(h)
+    f = h - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _weights(a, t, s_in, out_s):
+    """(out_s, s_in) 2-tap bilinear weights for out(o) = in((o - t)/a), zero
+    outside the input domain — NO edge renormalization.
+
+    jax.image.scale_and_translate renormalizes kernel weights at the input
+    boundary, which breaks the sum-of-quadrants linearity at mosaic seams.
+    The raw 2-tap kernel is exactly cv2.warpAffine INTER_LINEAR semantics:
+    taps outside the source contribute nothing here, and the caller blends
+    gray 114 by the complementary coverage — identical to borderValue=114.
+    Index-space pixel mapping (no half-pixel offset), matching the affine
+    applied to the boxes.
+    """
+    src = (jnp.arange(out_s, dtype=jnp.float32) - t) / a
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - jnp.arange(s_in, dtype=jnp.float32)[None, :]))
+
+
+def _warp(im, a, tyx, out_s):
+    """Warp one (S, S, C) image: two separable weight contractions (MXU-friendly)."""
+    wy = _weights(a, tyx[0], im.shape[0], out_s)
+    wx = _weights(a, tyx[1], im.shape[1], out_s)
+    tmp = jnp.einsum("oy,yxc->oxc", wy, im)
+    return jnp.einsum("px,oxc->opc", wx, tmp)
+
+
+def _cover(a, tyx, s_in, out_s):
+    """(out_s, out_s, 1) total kernel mass — separable, no image read."""
+    wy = _weights(a, tyx[0], s_in, out_s).sum(1)
+    wx = _weights(a, tyx[1], s_in, out_s).sum(1)
+    return (wy[:, None] * wx[None, :])[..., None]
+
+
+def _box_candidates(w1, h1, w2, h2, area_thr=0.1, wh_thr=2.0, ar_thr=100.0, eps=1e-16):
+    """reference augment.py box_candidates on static tensors."""
+    ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
+    """Apply mosaic(+affine)+HSV+flip on device. Returns a new batch dict with
+    img as float32 in [0, 1] and (when mosaic_on) GT slots expanded to 4M.
+
+    `hyp` is a plain-float dict (trace-time constants): mosaic, scale,
+    translate, hsv_h, hsv_s, hsv_v, fliplr, flipud.
+    """
+    img = batch["img"].astype(jnp.float32)  # (B, S, S, 3) in 0..255
+    cls, boxes, mask = batch["cls"], batch["bboxes"].astype(jnp.float32), batch["mask"]
+    b, s = img.shape[0], img.shape[1]
+    sf = float(s)
+    r_sc, r_tr, r_sel, r_hsv, r_fl, r_fu = jax.random.split(rng, 6)
+
+    # per-sample affine params (reference RandomPerspective:952 with
+    # degrees/shear/perspective = 0): x' = a*(x - cx) + T,
+    # T ~ U(0.5-translate, 0.5+translate) * S, a ~ U(1-scale, 1+scale)
+    a = jax.random.uniform(r_sc, (b,), minval=1.0 - hyp["scale"], maxval=1.0 + hyp["scale"])
+    t = jax.random.uniform(
+        r_tr, (b, 2), minval=(0.5 - hyp["translate"]) * sf, maxval=(0.5 + hyp["translate"]) * sf
+    )  # (ty, tx)
+
+    if mosaic_on:
+        # canvas center for the 2S mosaic canvas is S; for the plain (single
+        # image centered on the virtual canvas) path the image sits at offset
+        # S/2, same center
+        sel = jax.random.uniform(r_sel, (b,)) < hyp["mosaic"]
+        offs = [(0.0, 0.0), (0.0, sf), (sf, 0.0), (sf, sf)]  # (oy, ox) per quadrant
+
+        def sample_out(k):
+            src = jnp.roll(img, -k, axis=0) if k else img
+            oy, ox = offs[k]
+            # mosaic: embedded at (oy, ox) on a canvas centered at S
+            t_mos = jnp.stack([a * (oy - sf) + t[:, 0], a * (ox - sf) + t[:, 1]], 1)
+            # plain: own image centered (offset S/2); companions contribute 0
+            t_pl = jnp.stack([a * (-sf / 2) + t[:, 0], a * (-sf / 2) + t[:, 1]], 1)
+            tk = jnp.where(sel[:, None], t_mos, t_pl)
+            out = jax.vmap(_warp, in_axes=(0, 0, 0, None))(src, a, tk, s)
+            cov = jax.vmap(_cover, in_axes=(0, 0, None, None))(a, tk, s, s)
+            if k:
+                out = jnp.where(sel[:, None, None, None], out, 0.0)
+                cov = jnp.where(sel[:, None, None, None], cov, 0.0)
+            return out, cov
+
+        total = None
+        cover = None
+        for k in range(4):
+            o, c = sample_out(k)
+            total = o if total is None else total + o
+            cover = c if cover is None else cover + c
+        img_out = total + GRAY * (1.0 - cover)
+
+        # labels: 4 groups of M slots with quadrant offsets (plain: only k=0,
+        # offset S/2); then the same affine x' = a*(x - S) + t
+        parts = []
+        for k in range(4):
+            ck = jnp.roll(cls, -k, axis=0) if k else cls
+            bk = jnp.roll(boxes, -k, axis=0) if k else boxes
+            mk = jnp.roll(mask, -k, axis=0) if k else mask
+            oy, ox = offs[k]
+            off_mos = jnp.array([ox, oy, ox, oy])
+            off_pl = jnp.array([sf / 2, sf / 2, sf / 2, sf / 2])
+            off = jnp.where(sel[:, None, None], off_mos, off_pl)
+            if k:
+                mk = mk * sel[:, None]
+            parts.append((ck, bk + off * mk[..., None], mk))
+        cls = jnp.concatenate([p[0] for p in parts], axis=1)
+        boxes = jnp.concatenate([p[1] for p in parts], axis=1)
+        mask = jnp.concatenate([p[2] for p in parts], axis=1)
+        center = sf
+    else:
+        t_pl = jnp.stack([a * (-sf / 2) + t[:, 0], a * (-sf / 2) + t[:, 1]], 1)
+        img_out = jax.vmap(_warp, in_axes=(0, 0, 0, None))(img, a, t_pl, s)
+        cov = jax.vmap(_cover, in_axes=(0, 0, None, None))(a, t_pl, s, s)
+        img_out = img_out + GRAY * (1.0 - cov)
+        center = sf / 2
+
+    # affine on boxes (x' = a*(x - center) + tx), clip, candidate filter
+    w1 = boxes[..., 2] - boxes[..., 0]
+    h1 = boxes[..., 3] - boxes[..., 1]
+    av = a[:, None, None]
+    boxes = jnp.stack(
+        [
+            av[..., 0] * (boxes[..., 0] - center) + t[:, None, 1],
+            av[..., 0] * (boxes[..., 1] - center) + t[:, None, 0],
+            av[..., 0] * (boxes[..., 2] - center) + t[:, None, 1],
+            av[..., 0] * (boxes[..., 3] - center) + t[:, None, 0],
+        ],
+        axis=-1,
+    )
+    boxes = jnp.clip(boxes, 0.0, sf)
+    w2 = boxes[..., 2] - boxes[..., 0]
+    h2 = boxes[..., 3] - boxes[..., 1]
+    mask = mask * _box_candidates(w1 * av[..., 0], h1 * av[..., 0], w2, h2).astype(mask.dtype)
+
+    # HSV jitter (reference RandomHSV:1303; identity when all gains are 0)
+    if hyp["hsv_h"] or hyp["hsv_s"] or hyp["hsv_v"]:
+        gains = jax.random.uniform(r_hsv, (b, 3), minval=-1.0, maxval=1.0) * jnp.array(
+            [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]]
+        ) + 1.0
+        hsv = rgb_to_hsv(img_out)
+        h = (hsv[..., 0] * gains[:, None, None, 0]) % 180.0
+        sat = jnp.clip(hsv[..., 1] * gains[:, None, None, 1], 0.0, 255.0)
+        val = jnp.clip(hsv[..., 2] * gains[:, None, None, 2], 0.0, 255.0)
+        img_out = hsv_to_rgb(jnp.stack([h, sat, val], axis=-1))
+
+    # flips (boxes follow)
+    if hyp["fliplr"]:
+        do = jax.random.uniform(r_fl, (b,)) < hyp["fliplr"]
+        img_out = jnp.where(do[:, None, None, None], img_out[:, :, ::-1], img_out)
+        fx1 = sf - boxes[..., 2]
+        fx2 = sf - boxes[..., 0]
+        boxes = jnp.where(
+            do[:, None, None], jnp.stack([fx1, boxes[..., 1], fx2, boxes[..., 3]], -1), boxes
+        )
+    if hyp["flipud"]:
+        do = jax.random.uniform(r_fu, (b,)) < hyp["flipud"]
+        img_out = jnp.where(do[:, None, None, None], img_out[:, ::-1], img_out)
+        fy1 = sf - boxes[..., 3]
+        fy2 = sf - boxes[..., 1]
+        boxes = jnp.where(
+            do[:, None, None], jnp.stack([boxes[..., 0], fy1, boxes[..., 2], fy2], -1), boxes
+        )
+
+    out = dict(batch)
+    out["img"] = jnp.clip(img_out, 0.0, 255.0) / 255.0
+    out["cls"] = cls
+    out["bboxes"] = boxes
+    out["mask"] = mask
+    return out
+
+
+def aug_hyp_from_args(args) -> dict:
+    """Extract the trace-time constant dict from the merged config."""
+    return {
+        "mosaic": float(args.mosaic),
+        "scale": float(args.scale),
+        "translate": float(args.translate),
+        "hsv_h": float(args.hsv_h),
+        "hsv_s": float(args.hsv_s),
+        "hsv_v": float(args.hsv_v),
+        "fliplr": float(args.fliplr),
+        "flipud": float(args.flipud),
+    }

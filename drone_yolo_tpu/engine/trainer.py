@@ -191,6 +191,15 @@ class BaseTrainer(CallbackMixin):
             self.mesh = make_mesh(devices=devices)
         LOGGER.info(f"Training on {n_dev} device(s) (mesh {dict(self.mesh.shape)}), global batch {self.batch_size}")
 
+        # on-device augmentation (data/device_aug.py): detect task only
+        self.device_aug = bool(getattr(self.args, "device_aug", False))
+        if self.device_aug and self.args.task != "detect":
+            LOGGER.warning(f"device_aug not supported for task={self.args.task}; using host augmentation")
+            self.device_aug = False
+            self.args.device_aug = False
+        if self.device_aug:
+            LOGGER.info("device_aug=True: mosaic/affine/HSV/flip run on-device inside the jitted step")
+
         # data
         train_path, val_path = self.data.get("train"), self.data.get("val")
         self.trainset = self.build_dataset(train_path, "train", self.batch_size)
@@ -264,14 +273,26 @@ class BaseTrainer(CallbackMixin):
         else:
             self.scale_buckets = [base_imgsz]
 
-        def step_fn(state, batch, lr_w, lr_b, mom, target_sz):
+        device_aug = self.device_aug
+        if device_aug:
+            from drone_yolo_tpu.data.device_aug import aug_hyp_from_args, device_augment
+
+            aug_hyp = aug_hyp_from_args(self.args)
+
+        def step_fn(state, batch, lr_w, lr_b, mom, target_sz, aug_mosaic=False):
             step_rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed), state["step"])
             img = batch["img"]
             if img.dtype == jnp.uint8:
                 # batches ship as uint8 (4x less H2D traffic than fp32, same
                 # win as the validator/predictor); normalize on device
-                img = img.astype(jnp.float32) / 255.0
+                img = img.astype(jnp.float32)
+                if not device_aug:
+                    img = img / 255.0
                 batch = {**batch, "img": img}
+            if device_aug:
+                # img in 0..255 here; device_augment normalizes to 0..1
+                batch = device_augment(batch, jax.random.fold_in(step_rng, 1), aug_hyp, aug_mosaic)
+                img = batch["img"]
             if img.shape[1] != target_sz:
                 b = img.shape[0]
                 scale = target_sz / img.shape[1]
@@ -328,11 +349,11 @@ class BaseTrainer(CallbackMixin):
             # replicated at the step boundary, silently undoing the memory win
             state_sh = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
             self.train_step = jax.jit(
-                step_fn, donate_argnums=(0,), static_argnames=("target_sz",),
+                step_fn, donate_argnums=(0,), static_argnames=("target_sz", "aug_mosaic"),
                 out_shardings=(state_sh, None, None),
             )
         else:
-            self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz",))
+            self.train_step = jax.jit(step_fn, donate_argnums=(0,), static_argnames=("target_sz", "aug_mosaic"))
 
     def preprocess_batch(self, batch):
         """uint8 HWC host batch -> sharded device arrays (normalize in-graph)."""
@@ -370,6 +391,11 @@ class BaseTrainer(CallbackMixin):
             if epoch == self.epochs - self.args.close_mosaic and self.args.close_mosaic and hasattr(self.trainset, "close_mosaic"):
                 LOGGER.info("Closing dataloader mosaic")
                 self.trainset.close_mosaic(self.args)
+            # device-aug mosaic gate (static jit arg: one recompile at close)
+            aug_mosaic = bool(
+                self.device_aug and self.args.mosaic > 0
+                and (not self.args.close_mosaic or epoch < self.epochs - self.args.close_mosaic)
+            )
             self.train_loader.set_epoch(epoch)
 
             tloss = None
@@ -386,7 +412,8 @@ class BaseTrainer(CallbackMixin):
                     tloss = items if tloss is None else (tloss * n_done + items) / (n_done + 1)
                     n_done += 1
                 self.state, loss, pending_items = self.train_step(
-                    self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom), target_sz=target_sz
+                    self.state, dev_batch, jnp.float32(lr_w), jnp.float32(lr_b), jnp.float32(mom),
+                    target_sz=target_sz, aug_mosaic=aug_mosaic,
                 )
                 if self.args.plots and ni < 3 and "bboxes" in batch:
                     from drone_yolo_tpu.utils.plotting import plot_images

@@ -1,0 +1,170 @@
+"""On-device augmentation (`device_aug=True`, data/device_aug.py).
+
+(a) the sum-of-quadrants decomposition equals scale_and_translate of the
+    materialized 2S canvas (the linearity argument, checked numerically),
+(b) identity params (scale=0, translate=0) make the mosaic an exact center
+    crop of the canvas with exactly transformed boxes,
+(c) HSV round-trip is the identity and matches cv2's conversion,
+(d) zero-aug device path produces bit-identical batches to the host path:
+    2-epoch trainer losses match between device_aug=True and False,
+(e) default-hyp device-aug training runs with finite losses and the mosaic
+    close recompile fires.
+"""
+
+import csv
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from make_dataset import make_dataset
+
+rng_np = np.random.default_rng(0)
+
+
+@pytest.mark.smoke
+def test_quadrant_decomposition_matches_canvas():
+    from drone_yolo_tpu.data.device_aug import _warp
+
+    s = 32
+    imgs = [rng_np.random((s, s, 3)).astype(np.float32) * 255 for _ in range(4)]
+    canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+    canvas[:s, :s] = imgs[0]
+    canvas[:s, s:] = imgs[1]
+    canvas[s:, :s] = imgs[2]
+    canvas[s:, s:] = imgs[3]
+
+    a = jnp.float32(0.73)
+    t = (jnp.float32(0.55 * s), jnp.float32(0.47 * s))  # (ty, tx)
+    # whole-canvas warp: x' = a*(x - s) + t  ->  translation = t - a*s
+    ref = _warp(jnp.asarray(canvas), a, jnp.stack([t[0] - a * s, t[1] - a * s]), s)
+    total = 0.0
+    for k, (oy, ox) in enumerate([(0, 0), (0, s), (s, 0), (s, s)]):
+        tk = jnp.stack([a * (oy - s) + t[0], a * (ox - s) + t[1]])
+        total = total + _warp(jnp.asarray(imgs[k]), a, tk, s)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+    # and the warp itself matches cv2.warpAffine INTER_LINEAR + borderValue
+    import cv2
+
+    m = np.array([[float(a), 0.0, float(t[1] - a * s)], [0.0, float(a), float(t[0] - a * s)]])
+    cv_ref = cv2.warpAffine(
+        canvas, m, (s, s), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=(114, 114, 114)
+    )
+    from drone_yolo_tpu.data.device_aug import _cover
+
+    cov = 0.0
+    for k, (oy, ox) in enumerate([(0, 0), (0, s), (s, 0), (s, s)]):
+        tk = jnp.stack([a * (oy - s) + t[0], a * (ox - s) + t[1]])
+        cov = cov + _cover(a, tk, s, s)
+    filled = np.asarray(total) + 114.0 * (1.0 - np.asarray(cov))
+    np.testing.assert_allclose(filled, cv_ref, atol=0.51)  # cv2 fixed-point interp
+
+
+@pytest.mark.smoke
+def test_identity_params_center_crop_and_boxes():
+    from drone_yolo_tpu.data.device_aug import device_augment
+
+    s, b, m = 32, 4, 3
+    img = rng_np.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    boxes = np.tile(np.array([4.0, 6.0, 20.0, 26.0], np.float32), (b, m, 1))
+    cls = np.zeros((b, m), np.float32)
+    mask = np.ones((b, m), np.float32)
+    batch = {
+        "img": jnp.asarray(img, jnp.float32),
+        "cls": jnp.asarray(cls),
+        "bboxes": jnp.asarray(boxes),
+        "mask": jnp.asarray(mask),
+    }
+    hyp = dict(mosaic=1.0, scale=0.0, translate=0.0, hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0, flipud=0)
+    out = device_augment(batch, jax.random.PRNGKey(0), hyp, mosaic_on=True)
+
+    # canvas center crop: quadrants contribute their inner corners
+    half = s // 2
+    expect = np.zeros((b, s, s, 3), np.float32)
+    for i in range(b):
+        expect[i, :half, :half] = img[i, half:, half:]
+        expect[i, :half, half:] = img[(i + 1) % b, half:, :half]
+        expect[i, half:, :half] = img[(i + 2) % b, :half, half:]
+        expect[i, half:, half:] = img[(i + 3) % b, :half, :half]
+    np.testing.assert_allclose(np.asarray(out["img"]) * 255.0, expect, atol=1e-2)
+
+    # boxes: x' = (x + ox - s) + s/2, clipped to [0, s]; all four groups present
+    ob = np.asarray(out["bboxes"])
+    om = np.asarray(out["mask"])
+    assert ob.shape == (b, 4 * m, 4)
+    np.testing.assert_allclose(ob[0, 0], np.clip(np.array([4, 6, 20, 26]) - half, 0, s), atol=1e-4)
+    np.testing.assert_allclose(ob[0, m], np.clip(np.array([4 + half, 6 - half, 20 + half, 26 - half]), 0, s), atol=1e-4)
+    # group-0 box gets clipped to 10x10 at the corner -> still a candidate
+    assert om[0, 0] == 1.0
+
+
+@pytest.mark.smoke
+def test_hsv_round_trip_and_cv2_parity():
+    import cv2
+
+    from drone_yolo_tpu.data.device_aug import hsv_to_rgb, rgb_to_hsv
+
+    img = rng_np.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    f = jnp.asarray(img, jnp.float32)
+    back = np.asarray(hsv_to_rgb(rgb_to_hsv(f)))
+    np.testing.assert_allclose(back, img.astype(np.float32), atol=1e-3)
+
+    ours = np.asarray(rgb_to_hsv(f))
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    # cv2 quantizes H to integers (0..179); S/V to 0..255
+    assert np.abs(ours[..., 0] - ref[..., 0]).mean() < 1.0
+    assert np.abs(ours[..., 1] - ref[..., 1]).mean() < 1.0
+    np.testing.assert_allclose(ours[..., 2], ref[..., 2], atol=1.0)
+
+
+NO_AUG = dict(
+    mosaic=0.0, mixup=0.0, copy_paste=0.0, fliplr=0.0, flipud=0.0, hsv_h=0.0,
+    hsv_s=0.0, hsv_v=0.0, translate=0.0, scale=0.0, degrees=0.0, shear=0.0,
+    perspective=0.0, erasing=0.0, bgr=0.0, multi_scale=False, amp=False,
+    nbs=8,
+)
+
+
+def _train(tmp_path, data_yaml, name, epochs=2, **kw):
+    from drone_yolo_tpu import YOLO
+
+    random.seed(0)
+    np.random.seed(0)
+    m = YOLO("yolov8n.yaml")
+    m.train(
+        data=str(data_yaml), epochs=epochs, imgsz=64, batch=8, workers=1,
+        project=str(tmp_path), name=name, val=False, plots=False, verbose=False,
+        warmup_epochs=0.0, seed=0, **kw,
+    )
+    rows = list(csv.DictReader(open(tmp_path / name / "results.csv")))
+    return m, [
+        float(r["train/box_loss"]) + float(r["train/cls_loss"]) + float(r["train/dfl_loss"])
+        for r in rows
+    ]
+
+
+def test_zero_aug_device_path_matches_host_path(tmp_path):
+    yaml_path = make_dataset(tmp_path / "d", n_train=8, n_val=4, size=96, nc=4, seed=5)
+    _, host = _train(tmp_path, yaml_path, "host", device_aug=False, **NO_AUG)
+    _, dev = _train(tmp_path, yaml_path, "dev", device_aug=True, **NO_AUG)
+    assert len(host) == len(dev) >= 2
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+
+
+def test_device_aug_default_hyps_trains_finite(tmp_path):
+    yaml_path = make_dataset(tmp_path / "d", n_train=8, n_val=4, size=96, nc=4, seed=6)
+    m, losses = _train(
+        tmp_path, yaml_path, "aug", epochs=3, device_aug=True, close_mosaic=1,
+        mosaic=1.0, scale=0.5, translate=0.1, fliplr=0.5, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+        mixup=0.0, copy_paste=0.0, flipud=0.0, degrees=0.0, shear=0.0, perspective=0.0,
+        erasing=0.0, bgr=0.0, multi_scale=False, amp=False, nbs=8,
+    )
+    assert len(losses) == 3 and all(np.isfinite(v) for v in losses)
+    # host dataset runs letterbox-only transforms (randomness is on-device)
+    assert m.trainer.device_aug
+    assert m.trainer.trainset.device_aug
+    assert m.trainer.trainset.max_buffer_length == 0
