@@ -1,9 +1,15 @@
-"""Benchmark: batched 640px YOLOv8s inference throughput on one TPU chip.
+"""Benchmark: batched 640px inference throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per gated model: {"metric", "value", "unit", "vs_baseline"}.
+The LAST line is the primary regression gate (YOLOv8s b256); the flagship
+yolov8s-p2-repvgg-sf (b128, pre_topk=256 — the tuned 4-level-head setting,
+ROUND3.md §2) is emitted first so a flagship regression is caught per-round.
 vs_baseline is measured img/s divided by the reference A100 TensorRT rate for
 v8s (1.20 ms/img -> 833.3 img/s, docs/en/models/yolov8.md:45); the north-star
 target is vs_baseline >= 2.0 (BASELINE.json).
+
+Env knobs: BENCH_MODEL (run ONE model instead of the two-gate default),
+BENCH_BATCH, BENCH_IMGSZ, BENCH_ITERS, BENCH_PRETOPK, BENCH_NMS=0, BENCH_U8=0.
 """
 
 from __future__ import annotations
@@ -18,32 +24,16 @@ import numpy as np
 A100_TRT_V8S_IMGS_PER_S = 1000.0 / 1.20  # 833.3
 
 
-def main():
+def bench_one(model_name: str, batch: int, imgsz: int, iters: int, pre_topk: int, with_nms: bool, u8: bool) -> dict:
     import jax
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp
 
     from drone_yolo_tpu.nn import modules as M
     from drone_yolo_tpu.nn.model import DetectionModel
     from drone_yolo_tpu.ops.nms import non_max_suppression
 
-    batch = int(os.environ.get("BENCH_BATCH", 256))  # b256 ~3% over b128 (sweep in ROUND2.md)
-    imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
-    model_name = os.environ.get("BENCH_MODEL", "yolov8s.yaml")
-    iters = int(os.environ.get("BENCH_ITERS", 10))
-
-    # 384 = smallest lane-aligned K that keeps pre-NMS candidates >= max_det=300;
-    # sweep on-chip (ROUND3.md): 256 -> 3015, 384 -> 2983, 512 -> 2963, 1024 -> 2788 img/s
-    pre_topk = int(os.environ.get("BENCH_PRETOPK", 384))
-    with_nms = os.environ.get("BENCH_NMS", "1") != "0"
-
     model = DetectionModel(model_name)
     variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
-
-    u8 = os.environ.get("BENCH_U8", "1") != "0"
 
     @jax.jit
     def fn(variables, x):
@@ -76,16 +66,48 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_s = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{model_name.rsplit('.', 1)[0].replace('yolov8s', 'v8s')}_{imgsz}px_batch{batch}_infer_throughput",
-                "value": round(imgs_per_s, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(imgs_per_s / A100_TRT_V8S_IMGS_PER_S, 3),
-            }
-        )
-    )
+    stem = model_name.rsplit(".", 1)[0]
+    stem = "flagship" if stem == "yolov8s-p2-repvgg-sf" else stem.replace("yolov8s", "v8s")
+    return {
+        "metric": f"{stem}_{imgsz}px_batch{batch}_infer_throughput",
+        "value": round(imgs_per_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(imgs_per_s / A100_TRT_V8S_IMGS_PER_S, 3),
+    }
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    with_nms = os.environ.get("BENCH_NMS", "1") != "0"
+    u8 = os.environ.get("BENCH_U8", "1") != "0"
+
+    if "BENCH_MODEL" in os.environ:  # single-model mode (sweeps, xprof pairing)
+        runs = [
+            (
+                os.environ["BENCH_MODEL"],
+                int(os.environ.get("BENCH_BATCH", 256)),
+                int(os.environ.get("BENCH_PRETOPK", 384)),
+            )
+        ]
+    else:
+        # two-gate default: flagship first, v8s LAST (primary driver gate).
+        # flagship: b32/b128 within noise of each other, pre_topk=256 is the
+        # tuned 4-level-head setting; v8s: b256, pre_topk=384 (sweeps in
+        # ROUND2.md/ROUND3.md §2)
+        runs = [
+            ("yolov8s-p2-repvgg-sf.yaml", int(os.environ.get("BENCH_BATCH", 128)), 256),
+            ("yolov8s.yaml", int(os.environ.get("BENCH_BATCH", 256)), 384),
+        ]
+
+    for model_name, batch, pre_topk in runs:
+        print(json.dumps(bench_one(model_name, batch, imgsz, iters, pre_topk, with_nms, u8)), flush=True)
 
 
 if __name__ == "__main__":

@@ -95,19 +95,41 @@ def _weights(a, t, s_in, out_s):
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - jnp.arange(s_in, dtype=jnp.float32)[None, :]))
 
 
-def _warp(im, a, tyx, out_s):
-    """Warp one (S, S, C) image: two separable weight contractions (MXU-friendly)."""
+def _warp(im, a, tyx, out_s, q=None, canvas=None):
+    """Warp one (S, S, C) image: two separable weight contractions (MXU-friendly).
+
+    When `q` (the quadrant's placement offset on the virtual canvas, (qy, qx))
+    and `canvas` (canvas extent) are given, source pixels whose canvas
+    coordinate q+p falls outside [0, canvas) are masked out of the kernel —
+    exactly the reference's crop of mosaic quadrants at the 2S canvas boundary
+    (`ultralytics/data/augment.py:658-688` keeps only the in-canvas part).
+    """
     wy = _weights(a, tyx[0], im.shape[0], out_s)
     wx = _weights(a, tyx[1], im.shape[1], out_s)
+    if q is not None:
+        py = jnp.arange(im.shape[0], dtype=jnp.float32) + q[0]
+        px = jnp.arange(im.shape[1], dtype=jnp.float32) + q[1]
+        wy = wy * ((py >= 0) & (py < canvas)).astype(wy.dtype)[None, :]
+        wx = wx * ((px >= 0) & (px < canvas)).astype(wx.dtype)[None, :]
     tmp = jnp.einsum("oy,yxc->oxc", wy, im)
     return jnp.einsum("px,oxc->opc", wx, tmp)
 
 
-def _cover(a, tyx, s_in, out_s):
-    """(out_s, out_s, 1) total kernel mass — separable, no image read."""
-    wy = _weights(a, tyx[0], s_in, out_s).sum(1)
-    wx = _weights(a, tyx[1], s_in, out_s).sum(1)
-    return (wy[:, None] * wx[None, :])[..., None]
+def _cover(a, tyx, s_in, out_s, q=None, canvas=None):
+    """(out_s, out_s, 1) total kernel mass — separable, no image read.
+
+    Must apply the same canvas-boundary mask as `_warp` so cropped quadrant
+    regions fall back to the gray-114 fill (reference: the canvas is
+    pre-filled with 114 where no quadrant lands).
+    """
+    wy = _weights(a, tyx[0], s_in, out_s)
+    wx = _weights(a, tyx[1], s_in, out_s)
+    if q is not None:
+        py = jnp.arange(s_in, dtype=jnp.float32) + q[0]
+        px = jnp.arange(s_in, dtype=jnp.float32) + q[1]
+        wy = wy * ((py >= 0) & (py < canvas)).astype(wy.dtype)[None, :]
+        wx = wx * ((px >= 0) & (px < canvas)).astype(wx.dtype)[None, :]
+    return (wy.sum(1)[:, None] * wx.sum(1)[None, :])[..., None]
 
 
 def _box_candidates(w1, h1, w2, h2, area_thr=0.1, wh_thr=2.0, ar_thr=100.0, eps=1e-16):
@@ -127,7 +149,7 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
     cls, boxes, mask = batch["cls"], batch["bboxes"].astype(jnp.float32), batch["mask"]
     b, s = img.shape[0], img.shape[1]
     sf = float(s)
-    r_sc, r_tr, r_sel, r_hsv, r_fl, r_fu = jax.random.split(rng, 6)
+    r_sc, r_tr, r_sel, r_hsv, r_fl, r_fu, r_ctr = jax.random.split(rng, 7)
 
     # per-sample affine params (reference RandomPerspective:952 with
     # degrees/shear/perspective = 0): x' = a*(x - cx) + T,
@@ -138,22 +160,33 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
     )  # (ty, tx)
 
     if mosaic_on:
-        # canvas center for the 2S mosaic canvas is S; for the plain (single
-        # image centered on the virtual canvas) path the image sits at offset
-        # S/2, same center
+        # mosaic center jitter (reference _mosaic4: yc, xc ~ int U(S/2, 3S/2)
+        # on the 2S canvas, augment.py:658): quadrant k's placement offset is
+        # offs[k] + c with c = (yc, xc) - S ~ U(-jS, jS), j = mosaic_center
+        # (0.5 = reference). Integer like the reference's int() draw. The
+        # canvas -> output affine keeps its fixed center S (RandomPerspective's
+        # C translation is -canvas/2); the jitter lives in the PLACEMENT, and
+        # quadrant parts falling outside the 2S canvas are cropped (masked
+        # kernel columns in _warp/_cover), exactly the reference's crop.
+        jit_f = float(hyp.get("mosaic_center", 0.5))
+        ctr = jnp.round(jax.random.uniform(r_ctr, (b, 2), minval=-jit_f * sf, maxval=jit_f * sf))
         sel = jax.random.uniform(r_sel, (b,)) < hyp["mosaic"]
         offs = [(0.0, 0.0), (0.0, sf), (sf, 0.0), (sf, sf)]  # (oy, ox) per quadrant
 
         def sample_out(k):
             src = jnp.roll(img, -k, axis=0) if k else img
             oy, ox = offs[k]
-            # mosaic: embedded at (oy, ox) on a canvas centered at S
-            t_mos = jnp.stack([a * (oy - sf) + t[:, 0], a * (ox - sf) + t[:, 1]], 1)
-            # plain: own image centered (offset S/2); companions contribute 0
+            # mosaic: embedded at (oy, ox) + ctr on a canvas centered at S
+            qk = jnp.stack([oy + ctr[:, 0], ox + ctr[:, 1]], 1)
+            t_mos = jnp.stack([a * (qk[:, 0] - sf) + t[:, 0], a * (qk[:, 1] - sf) + t[:, 1]], 1)
+            # plain: own image centered (offset S/2); companions contribute 0.
+            # S/2 placement can never leave the canvas, so the mask is inert
             t_pl = jnp.stack([a * (-sf / 2) + t[:, 0], a * (-sf / 2) + t[:, 1]], 1)
             tk = jnp.where(sel[:, None], t_mos, t_pl)
-            out = jax.vmap(_warp, in_axes=(0, 0, 0, None))(src, a, tk, s)
-            cov = jax.vmap(_cover, in_axes=(0, 0, None, None))(a, tk, s, s)
+            q_pl = jnp.full((b, 2), sf / 2)
+            qsel = jnp.where(sel[:, None], qk, q_pl)
+            out = jax.vmap(_warp, in_axes=(0, 0, 0, None, 0, None))(src, a, tk, s, qsel, 2.0 * sf)
+            cov = jax.vmap(_cover, in_axes=(0, 0, None, None, 0, None))(a, tk, s, s, qsel, 2.0 * sf)
             if k:
                 out = jnp.where(sel[:, None, None, None], out, 0.0)
                 cov = jnp.where(sel[:, None, None, None], cov, 0.0)
@@ -167,20 +200,23 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
             cover = c if cover is None else cover + c
         img_out = total + GRAY * (1.0 - cover)
 
-        # labels: 4 groups of M slots with quadrant offsets (plain: only k=0,
-        # offset S/2); then the same affine x' = a*(x - S) + t
+        # labels: 4 groups of M slots with quadrant (+ center jitter) offsets
+        # (plain: only k=0, offset S/2); canvas-clipped to [0, 2S] (reference
+        # _cat_labels clips instances to 2S); then the affine x' = a*(x-S) + t
         parts = []
         for k in range(4):
             ck = jnp.roll(cls, -k, axis=0) if k else cls
             bk = jnp.roll(boxes, -k, axis=0) if k else boxes
             mk = jnp.roll(mask, -k, axis=0) if k else mask
             oy, ox = offs[k]
-            off_mos = jnp.array([ox, oy, ox, oy])
-            off_pl = jnp.array([sf / 2, sf / 2, sf / 2, sf / 2])
+            off_mos = jnp.array([ox, oy, ox, oy]) + jnp.stack(
+                [ctr[:, 1], ctr[:, 0], ctr[:, 1], ctr[:, 0]], 1
+            )[:, None, :]
+            off_pl = jnp.full((b, 1, 4), sf / 2)
             off = jnp.where(sel[:, None, None], off_mos, off_pl)
             if k:
                 mk = mk * sel[:, None]
-            parts.append((ck, bk + off * mk[..., None], mk))
+            parts.append((ck, jnp.clip(bk + off * mk[..., None], 0.0, 2.0 * sf), mk))
         cls = jnp.concatenate([p[0] for p in parts], axis=1)
         boxes = jnp.concatenate([p[1] for p in parts], axis=1)
         mask = jnp.concatenate([p[2] for p in parts], axis=1)
@@ -208,6 +244,11 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
     boxes = jnp.clip(boxes, 0.0, sf)
     w2 = boxes[..., 2] - boxes[..., 0]
     h2 = boxes[..., 3] - boxes[..., 1]
+    # box1 sizes are scale-normalized (w1*a, h1*a) ON PURPOSE: the reference
+    # rescales the pre-affine boxes by the draw's scale factor before the
+    # candidate test ("Make the bboxes have the same scale with new_bboxes",
+    # instances.scale(scale_w=scale, ...) at augment.py:1251-1254), so the
+    # area-ratio term measures clipping loss only — identical semantics here
     mask = mask * _box_candidates(w1 * av[..., 0], h1 * av[..., 0], w2, h2).astype(mask.dtype)
 
     # HSV jitter (reference RandomHSV:1303; identity when all gains are 0)
@@ -251,6 +292,7 @@ def aug_hyp_from_args(args) -> dict:
     """Extract the trace-time constant dict from the merged config."""
     return {
         "mosaic": float(args.mosaic),
+        "mosaic_center": 0.5,  # reference border fraction (augment.py:658)
         "scale": float(args.scale),
         "translate": float(args.translate),
         "hsv_h": float(args.hsv_h),

@@ -49,6 +49,21 @@ from drone_yolo_tpu.utils.optimizer import (
 )
 
 
+def compute_scale_buckets(imgsz: int, stride: int, sp: int = 1, multi_scale: bool = False) -> list:
+    """Static multi-scale size buckets (reference resizes 0.5-1.5x per batch,
+    detect/train.py:60 — dynamic shapes would force recompiles on TPU, so we
+    bucket). Under spatial partitioning (sp > 1) every bucket must also
+    satisfy the >=2-rows-per-shard guard (size % (sp*64) == 0, _setup_train):
+    stride-aligned-only buckets could give a scale whose stride-32 map has <2
+    rows per "space" shard — the regime where XLA GSPMD mis-reduces the
+    chained-conv backward (tests/test_sp.py probe)."""
+    if not multi_scale:
+        return [int(imgsz)]
+    align = sp * 64 if sp > 1 else stride
+    raw = [imgsz * s for s in (0.67, 0.83, 1.0, 1.17, 1.33)]
+    return sorted({max(int(round(v / align)) * align, align) for v in raw})
+
+
 class BaseTrainer(CallbackMixin):
     """Detection trainer (subclasses specialize dataset/loss/validator)."""
 
@@ -267,11 +282,8 @@ class BaseTrainer(CallbackMixin):
         # (reference resizes 0.5-1.5x per batch, detect/train.py:60 — dynamic
         # shapes would force recompiles on TPU, so we bucket)
         stride = int(max(self.model.stride))
-        if self.args.multi_scale:
-            raw = [base_imgsz * s for s in (0.67, 0.83, 1.0, 1.17, 1.33)]
-            self.scale_buckets = sorted({max(int(round(v / stride)) * stride, stride) for v in raw})
-        else:
-            self.scale_buckets = [base_imgsz]
+        sp = max(int(getattr(self.args, "sp", 1) or 1), 1)
+        self.scale_buckets = compute_scale_buckets(base_imgsz, stride, sp, bool(self.args.multi_scale))
 
         device_aug = self.device_aug
         if device_aug:
@@ -280,8 +292,18 @@ class BaseTrainer(CallbackMixin):
             aug_hyp = aug_hyp_from_args(self.args)
 
         def step_fn(state, batch, lr_w, lr_b, mom, target_sz, aug_mosaic=False):
-            step_rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed), state["step"])
+            # fold in BOTH the optimizer step and the micro-step counter: with
+            # gradient accumulation (nbs > batch) "step" is constant across a
+            # window, and augmentation draws must not repeat across its
+            # micro-batches; still resume-exact (count is saved/restored)
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(self.args.seed), state["step"]), state["count"]
+            )
             img = batch["img"]
+            if device_aug and img.dtype != jnp.uint8:
+                # device_augment blends gray-114 on the 0..255 scale; a float
+                # batch (already 0..1) would be silently destroyed
+                raise ValueError(f"device_aug=True requires uint8 train batches, got {img.dtype}")
             if img.dtype == jnp.uint8:
                 # batches ship as uint8 (4x less H2D traffic than fp32, same
                 # win as the validator/predictor); normalize on device
@@ -498,6 +520,7 @@ class BaseTrainer(CallbackMixin):
             "opt": jax.device_get(self.state["opt"]),
             "ema": ema_host,
             "step": np.asarray(self.state["step"]),
+            "count": np.asarray(self.state["count"]),
             "epoch": np.int32(self.epoch),
         }
         np.savez(self.wdir / "resume_state.npz", **flatten_tree(resume_state))
@@ -520,7 +543,9 @@ class BaseTrainer(CallbackMixin):
                 "opt": tree["opt"],
                 "ema": tree["ema"],
                 "acc": jax.tree_util.tree_map(lambda x: np.zeros_like(x), tree["params"]),
-                "count": jnp.zeros((), jnp.int32),
+                # count restored (when present) so the per-micro-step RNG
+                # stream continues exactly across resume under accumulation
+                "count": jnp.asarray(tree["count"]) if "count" in tree else jnp.zeros((), jnp.int32),
                 "step": jnp.asarray(tree["step"]),
             },
             self.mesh,

@@ -79,7 +79,10 @@ def test_identity_params_center_crop_and_boxes():
         "bboxes": jnp.asarray(boxes),
         "mask": jnp.asarray(mask),
     }
-    hyp = dict(mosaic=1.0, scale=0.0, translate=0.0, hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0, flipud=0)
+    hyp = dict(
+        mosaic=1.0, mosaic_center=0.0, scale=0.0, translate=0.0,
+        hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0, flipud=0,
+    )
     out = device_augment(batch, jax.random.PRNGKey(0), hyp, mosaic_on=True)
 
     # canvas center crop: quadrants contribute their inner corners
@@ -100,6 +103,43 @@ def test_identity_params_center_crop_and_boxes():
     np.testing.assert_allclose(ob[0, m], np.clip(np.array([4 + half, 6 - half, 20 + half, 26 - half]), 0, s), atol=1e-4)
     # group-0 box gets clipped to 10x10 at the corner -> still a candidate
     assert om[0, 0] == 1.0
+
+
+@pytest.mark.smoke
+def test_jittered_center_matches_materialized_canvas():
+    """Mosaic center jitter (reference _mosaic4 yc/xc draw): the masked
+    sum-of-warps must equal cv2.warpAffine of an explicitly materialized 2S
+    canvas with quadrants placed at offs[k] + c and cropped at the boundary."""
+    import cv2
+
+    from drone_yolo_tpu.data.device_aug import _cover, _warp
+
+    s = 32
+    imgs = [rng_np.random((s, s, 3)).astype(np.float32) * 255 for _ in range(4)]
+    for cy, cx in [(-11.0, 7.0), (15.0, -16.0), (0.0, 12.0)]:
+        canvas = np.full((2 * s, 2 * s, 3), 114.0, np.float32)
+        for k, (oy, ox) in enumerate([(0, 0), (0, s), (s, 0), (s, s)]):
+            qy, qx = int(oy + cy), int(ox + cx)
+            y1, y2 = max(qy, 0), min(qy + s, 2 * s)
+            x1, x2 = max(qx, 0), min(qx + s, 2 * s)
+            canvas[y1:y2, x1:x2] = imgs[k][y1 - qy : y2 - qy, x1 - qx : x2 - qx]
+
+        a = 0.8
+        t = (0.52 * s, 0.44 * s)
+        m = np.array([[a, 0.0, t[1] - a * s], [0.0, a, t[0] - a * s]])
+        cv_ref = cv2.warpAffine(
+            canvas, m, (s, s), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=(114, 114, 114)
+        )
+
+        af = jnp.float32(a)
+        total, cov = 0.0, 0.0
+        for k, (oy, ox) in enumerate([(0, 0), (0, s), (s, 0), (s, s)]):
+            q = jnp.asarray([oy + cy, ox + cx], jnp.float32)
+            tk = jnp.stack([af * (q[0] - s) + t[0], af * (q[1] - s) + t[1]])
+            total = total + _warp(jnp.asarray(imgs[k]), af, tk, s, q, 2.0 * s)
+            cov = cov + _cover(af, tk, s, s, q, 2.0 * s)
+        ours = np.asarray(total) + 114.0 * (1.0 - np.asarray(cov))
+        np.testing.assert_allclose(ours, cv_ref, atol=0.51)
 
 
 @pytest.mark.smoke

@@ -83,6 +83,24 @@ def _train(tmp_path, data_yaml, name, sp, epochs=2):
     ]
 
 
+@pytest.mark.smoke
+def test_scale_buckets_sp_aligned():
+    """multi_scale buckets under sp>1 must all satisfy the >=2-rows-per-shard
+    guard (bucket % (sp*64) == 0) — stride-32-only alignment would let the
+    in-step resize hit the GSPMD mis-reduction regime mid-training."""
+    from drone_yolo_tpu.engine.trainer import compute_scale_buckets
+
+    assert compute_scale_buckets(640, 32, sp=1, multi_scale=False) == [640]
+    plain = compute_scale_buckets(640, 32, sp=1, multi_scale=True)
+    assert all(b % 32 == 0 for b in plain) and len(plain) >= 3
+    for sp in (2, 4):
+        buckets = compute_scale_buckets(640, 32, sp=sp, multi_scale=True)
+        assert buckets, "buckets must never be empty"
+        assert all(b % (sp * 64) == 0 for b in buckets)
+    # P2 models (stride 64 ceil -> max stride still 32): 128px degenerate case
+    assert compute_scale_buckets(128, 32, sp=2, multi_scale=True) == [128]
+
+
 def test_trainer_sp_rejects_too_small_imgsz(tmp_path):
     from drone_yolo_tpu import YOLO
 
