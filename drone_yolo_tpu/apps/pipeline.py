@@ -17,6 +17,7 @@ from drone_yolo_tpu.utils import LOGGER
 
 
 class DroneVideoPipeline:
+    """Video analytics pipeline: detect + pose + ByteTrack + GSD scaling + trajectory CSV (reference mix6.py)."""
     def __init__(
         self,
         detector="yolov8s-p2-repvgg-sf.yaml",

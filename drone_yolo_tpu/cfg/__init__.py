@@ -66,7 +66,7 @@ CFG_BOOL_KEYS = {
     "save_txt", "save_conf", "save_crop", "save_frames", "show_labels", "show_conf",
     "visualize", "augment", "agnostic_nms", "retina_masks", "show_boxes", "keras",
     "optimize", "int8", "dynamic", "simplify", "nms", "profile", "multi_scale", "spd_stem",
-    "zero", "device_aug",
+    "zero", "device_aug", "lane_pad",
 }
 
 

@@ -62,6 +62,7 @@ def seed_sample(seed: int, epoch: int, index: int):
 
 
 class Compose:
+    """Chain of transforms applied in order to a labels dict (reference augment.py:146)."""
     def __init__(self, transforms):
         self.transforms = list(transforms)
 

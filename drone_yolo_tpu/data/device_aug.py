@@ -49,6 +49,7 @@ GRAY = 114.0
 # HSV round-trip (cv2 conventions: H in [0, 180), S/V in [0, 255])
 # ---------------------------------------------------------------------------
 def rgb_to_hsv(rgb):
+    """RGB (0..255) -> HSV with cv2 conventions: H in [0, 180), S/V in [0, 255]."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
@@ -66,6 +67,7 @@ def rgb_to_hsv(rgb):
 
 
 def hsv_to_rgb(hsv):
+    """HSV (cv2 conventions) -> RGB in 0..255; inverse of rgb_to_hsv."""
     h, s, v = hsv[..., 0] / 180.0 * 6.0, hsv[..., 1] / 255.0, hsv[..., 2]
     i = jnp.floor(h)
     f = h - i

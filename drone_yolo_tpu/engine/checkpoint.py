@@ -22,6 +22,7 @@ import numpy as np
 
 
 def flatten_tree(tree: dict, prefix: str = "") -> dict:
+    """Flatten a nested dict pytree to {'a/b/c': leaf} for npz serialization."""
     out = {}
     for k, v in tree.items():
         key = f"{prefix}/{k}" if prefix else str(k)
@@ -33,6 +34,7 @@ def flatten_tree(tree: dict, prefix: str = "") -> dict:
 
 
 def unflatten_tree(flat: dict) -> dict:
+    """Inverse of flatten_tree: {'a/b/c': leaf} -> nested dict pytree."""
     out: dict = {}
     for key, v in flat.items():
         parts = key.split("/")

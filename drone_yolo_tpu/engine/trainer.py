@@ -164,6 +164,9 @@ class BaseTrainer(CallbackMixin):
         if getattr(self.args, "spd_stem", False):
             applied = self.model.enable_spd_stem()
             LOGGER.info(f"spd_stem: {'enabled (exact space-to-depth stem reformulation)' if applied else 'not applicable to this stem, ignored'}")
+        if getattr(self.args, "lane_pad", False):
+            n_pad = self.model.enable_lane_pad()
+            LOGGER.info(f"lane_pad: {n_pad} narrow convs zero-padded to full MXU lanes in-step (exact)")
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(self.args))
 

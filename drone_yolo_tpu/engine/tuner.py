@@ -46,6 +46,7 @@ DEFAULT_SPACE = {
 
 
 class Tuner:
+    """Mutation-based hyperparameter evolution over repeated train runs (reference engine/tuner.py:33)."""
     def __init__(self, args=None, space: dict | None = None, _callbacks=None):
         self.space = space or dict(DEFAULT_SPACE)
         self.args = get_cfg(overrides=args or {})

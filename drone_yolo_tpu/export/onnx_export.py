@@ -37,6 +37,7 @@ OPSET = 13
 
 
 class Builder:
+    """Incremental ONNX GraphProto builder: nodes, initializers, and value names (vendored proto subset)."""
     def __init__(self, graph_name="drone_yolo_tpu"):
         self.nodes = []
         self.inits = []

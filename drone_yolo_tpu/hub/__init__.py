@@ -30,6 +30,7 @@ def login(api_key: str | None = None) -> bool:
 
 
 def logout() -> None:
+    """Clear the stored HUB API key (reference hub logout)."""
     LOGGER.info("hub: logged out")
 
 

@@ -59,6 +59,7 @@ _T2 = {
 
 
 class GCPRegions:
+    """GCP region latency prober for choosing upload endpoints (reference hub/google/__init__.py:159)."""
     def __init__(self, probe=None):
         self.regions = {**{k: (1, *v) for k, v in _T1.items()}, **{k: (2, *v) for k, v in _T2.items()}}
         self._probe = probe or self._http_head_latency

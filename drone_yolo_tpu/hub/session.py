@@ -23,6 +23,7 @@ AGENT_NAME = "python-dyt"
 
 
 class HUBTrainingSession:
+    """HUB client session: heartbeats + metric/checkpoint upload hooks (reference hub/session.py:19)."""
     def __init__(self, identifier: str = "", api_key: str | None = None, api_root: str | None = None, heartbeat_interval: float = 30.0):
         import os
 

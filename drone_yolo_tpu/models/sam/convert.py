@@ -60,6 +60,7 @@ def _attn(sd, p):
 
 
 def convert_image_encoder(sd, prefix="image_encoder", depth=12):
+    """SAM-1 ViT image-encoder torch state_dict slice -> variables pytree."""
     blocks = {}
     for i in range(depth):
         bp = f"{prefix}.blocks.{i}"
@@ -88,6 +89,7 @@ def convert_image_encoder(sd, prefix="image_encoder", depth=12):
 
 
 def convert_prompt_encoder(sd, prefix="prompt_encoder"):
+    """SAM prompt-encoder torch state_dict slice -> variables pytree."""
     return {
         "pe_gaussian": _np(sd[f"{prefix}.pe_layer.positional_encoding_gaussian_matrix"]),
         "point_embeds": np.concatenate(
@@ -108,6 +110,7 @@ def _sam_mlp(sd, p, n=3):
 
 
 def convert_mask_decoder(sd, prefix="mask_decoder", depth=2, num_mask_tokens=4):
+    """SAM-1 mask-decoder torch state_dict slice -> variables pytree."""
     blocks = {}
     for i in range(depth):
         bp = f"{prefix}.transformer.layers.{i}"
@@ -188,6 +191,7 @@ def convert_fpn_neck(sd, n_levels=4, prefix="image_encoder.neck"):
 
 
 def convert_memory_encoder(sd, prefix="memory_encoder"):
+    """SAM2 memory-encoder torch state_dict slice -> variables pytree."""
     md = {
         "layers": {str(i): _conv(sd, f"{prefix}.mask_downsampler.encoder.{3 * i}") for i in range(4)},
         "lns": {str(i): _ln(sd, f"{prefix}.mask_downsampler.encoder.{3 * i + 1}") for i in range(4)},
@@ -216,6 +220,7 @@ def convert_memory_encoder(sd, prefix="memory_encoder"):
 
 
 def convert_memory_attention(sd, num_layers=4, prefix="memory_attention"):
+    """SAM2 memory-attention torch state_dict slice -> variables pytree."""
     layers = {}
     for i in range(num_layers):
         lp = f"{prefix}.layers.{i}"
@@ -232,6 +237,7 @@ def convert_memory_attention(sd, num_layers=4, prefix="memory_attention"):
 
 
 def convert_sam2_mask_decoder(sd, prefix="sam_mask_decoder", depth=2, num_mask_tokens=4):
+    """SAM2 mask-decoder torch state_dict slice -> variables pytree."""
     blocks = {}
     for i in range(depth):
         bp = f"{prefix}.transformer.layers.{i}"

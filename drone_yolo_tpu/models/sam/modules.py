@@ -98,6 +98,7 @@ class ViTAttention(Module):
 
 
 def window_partition(x, window):
+    """(B, H, W, C) -> (B*nW, window, window, C) with bottom/right padding; returns (windows, padded_hw)."""
     b, h, w, c = x.shape
     pad_h = (window - h % window) % window
     pad_w = (window - w % window) % window
@@ -109,6 +110,7 @@ def window_partition(x, window):
 
 
 def window_unpartition(x, window, pad_hw, hw):
+    """Inverse of window_partition: reassemble windows and strip padding back to (B, H, W, C)."""
     hp, wp = pad_hw
     h, w = hw
     b = x.shape[0] // (hp // window * wp // window)

@@ -23,6 +23,7 @@ from drone_yolo_tpu.utils import LOGGER
 
 
 class AutoBackend:
+    """Uniform forward() over exported artifacts: npz/stablehlo/savedmodel/tflite/onnx + serving URLs (reference autobackend.py:54)."""
     def __init__(self, weights, half: bool = False):
         self.path = Path(str(weights))
         self.half = half

@@ -313,4 +313,4 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         if verbose:
             LOGGER.info(f"{i:>3}{str(f):>20}{n_scaled:>3}  {mname:<20}{str(args):<40}")
 
-    return layers, sorted(set(save)), nc
+    return layers, sorted(set(save)), nc, ch_list  # ch_list[i] = layer i's output channels

@@ -31,7 +31,7 @@ class BaseModel:
             LOGGER.info(f"Overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
             self.yaml["nc"] = nc
         self.ch = ch
-        self.layers, self.save, self.nc = parse_model(self.yaml, ch=ch, verbose=verbose)
+        self.layers, self.save, self.nc, self.ch_list = parse_model(self.yaml, ch=ch, verbose=verbose)
         # dotted paths mirror torch state_dict names ("model.<i>....") for conversion
         for spec in self.layers:
             spec.module.set_paths(f"model.{spec.i}")
@@ -171,6 +171,114 @@ class BaseModel:
             elif isinstance(mod, M.Conv) and mod.k == 3 and mod.s == 2 and mod.p == 1 and mod.d == 1:
                 mod.spd = True
                 n += 1
+        return n
+
+    def enable_lane_pad(self, target: int = 128, inner_target: int | None = None) -> int:
+        """Zero-pad narrow (< target channel) top-level convs to `target` lanes
+        INSIDE the traced step — an EXACT schedule change, like enable_spd_*.
+
+        Motivation (xprof, ROUND3.md §2 / ROUND4): at C<=64 XLA assigns
+        dim-split wgrad layouts around the P1/P2 stride-2 convs and emits
+        physical transposes of the 100-200 MB activations (layout/copy was
+        55-70% of the flagship train step, the convolutions 6%). At C=128 the
+        lanes are full and the dim-splits disappear; a width-bumped probe of
+        the padded graph measured +20% step throughput DESPITE the extra math.
+
+        Exactness: padded kernel/BN-param slots are zeros built in-step from
+        the canonical params, so padded activations are exact zeros in every
+        mode, every consumer contribution through them is zero, and autodiff
+        of the pads yields exact slices — the real channels compute the SAME
+        mathematical function and the canonical params/optimizer/EMA/
+        checkpoints are untouched. Not bit-exact: the zeros inserted inside
+        the conv reduction re-pair the real summands in the backend's
+        accumulation (~4e-5 fp32 reassociation noise, tests/test_lane_pad.py).
+        Consumers accept padded inputs by zero-padding kernel C_in rows (g==1)
+        or slicing (grouped convs, Concat — positional semantics).
+
+        Returns the number of modules padded. Idempotent."""
+        padded: dict[int, int] = {}  # layer index -> canonical c2
+        n = 0
+        for spec in self.layers:
+            mod = spec.module
+            if isinstance(mod, M.RepVGGBlock) and mod.g == 1 and mod.c2 < target and not mod.spd:
+                mod.pad_out = target
+                padded[spec.i] = mod.c2
+                n += 1
+            elif type(mod) in (M.Conv, M.SPDConv) and mod.g == 1 and mod.c2 < target and not mod.spd:
+                mod.pad_out = target
+                padded[spec.i] = mod.c2
+                n += 1
+            elif type(mod) is M.C2f and mod.cv2.c2 < target:
+                # positional internals (cv1's 2-way chunk split, the (2+n)-way
+                # concat into cv2) pad block-wise so chunk boundaries stay
+                # aligned; the narrow bottleneck convs are lane-padded too —
+                # they carry the same dim-split wgrad problem as the top-level
+                # convs (phase-A measurement: outputs-only padding LOST 6%,
+                # internals are where the probe's +20% lives)
+                inner = inner_target or target
+                c = mod.c
+                if c < inner:
+                    mod.cv1.pad_out_spec = (c, inner, 2)
+                    mod.cv2.pad_in_spec = (c, inner, 2 + len(mod.m))
+                    for b in mod.m:
+                        b.cv1.pad_in_ok = True
+                        b.cv1.pad_out = inner
+                        b.cv2.pad_in_ok = True
+                        b.cv2.pad_out = inner
+                mod.cv2.pad_out = target
+                padded[spec.i] = mod.cv2.c2
+                n += 1
+        if not n:
+            return 0
+
+        def allow(mod):
+            if isinstance(mod, (M.Conv, M.RepVGGBlock)):
+                mod.pad_in_ok = True
+                if isinstance(mod, M.Conv) and mod.g > 1:
+                    # grouped consumers of a padded input run as a dense
+                    # block-diagonal conv instead of materializing a slice of
+                    # the big padded activation (the taps sit at 320^2/160^2)
+                    mod.dense_pad_in = True
+            for child in mod.children().values():
+                for m in child if isinstance(child, list) else [child]:
+                    allow(m)
+
+        for spec in self.layers:
+            allow(spec.module)
+
+        # Concat is positional: its consumers see shifted channel offsets when
+        # any input is padded. Preferred (copy-free): give every consumer conv
+        # a per-block pad_in_map so ITS kernel rows absorb the padding; fall
+        # back to trimming at the Concat only when some consumer cannot.
+        consumers: dict[int, list] = {}
+        for spec in self.layers:
+            fs = spec.f if isinstance(spec.f, (list, tuple)) else [spec.f]
+            for j in fs:
+                consumers.setdefault(spec.i - 1 if j == -1 else j, []).append(spec)
+
+        for spec in self.layers:
+            mod = spec.module
+            if not (isinstance(mod, M.Concat) and isinstance(spec.f, (list, tuple))):
+                continue
+            srcs = [spec.i - 1 if j == -1 else j for j in spec.f]
+            if not any(j in padded for j in srcs):
+                continue
+            in_map = [(self.ch_list[j], target if j in padded else self.ch_list[j]) for j in srcs]
+            targets = []
+            for cons in consumers.get(spec.i, []):
+                cm = cons.module
+                if type(cm) is M.C2f:
+                    targets.append(cm.cv1)
+                elif isinstance(cm, M.Conv) and cm.g == 1:
+                    targets.append(cm)
+                else:
+                    targets = None
+                    break
+            if targets:
+                for t in targets:
+                    t.pad_in_map = in_map
+            else:
+                mod.trim_to = [padded.get(j) for j in srcs]
         return n
 
     def fuse(self, variables):

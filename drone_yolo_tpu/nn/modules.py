@@ -75,6 +75,7 @@ def _child_key(key, name: str):
 
 
 def silu(x):
+    """SiLU activation x * sigmoid(x) (the reference default, conv.py:39)."""
     return x * jax.nn.sigmoid(x)
 
 
@@ -271,6 +272,16 @@ def _bn_fold(bn, w):
     return w * inv[None, None, None, :], bn["bias"] - bn["mean"] * inv
 
 
+def _bn_pad(bn, n):
+    """Zero-pad BN params to n channels (lane padding, enable_lane_pad).
+
+    All pads are zeros — including `var`: the padded channels carry exact-zero
+    activations, so train-mode batch var is 0 and eval-mode inv = rsqrt(eps) *
+    scale_pad(=0) = 0, keeping padded outputs exactly zero in both modes."""
+    d = n - bn["scale"].shape[0]
+    return {k: jnp.pad(v, (0, d)) for k, v in bn.items()}
+
+
 # ---------------------------------------------------------------------------
 # Conv family
 # ---------------------------------------------------------------------------
@@ -364,6 +375,29 @@ class Conv(Module):
         self.p = autopad(k, p, d)
         self.act = act
         self.spd = False
+        # lane padding (enable_lane_pad): pad_out > 0 zero-pads the kernel /
+        # BN params to pad_out output channels INSIDE the traced step (the
+        # canonical params pytree is untouched — grads through the pad are
+        # exact slices). pad_in_ok lets the module accept an input carrying
+        # exact-zero padded channels: g==1 pads kernel C_in rows with zeros,
+        # grouped convs slice the zeros away (both exact).
+        # Block specs generalize tail pads for positional consumers (C2f's
+        # chunk split/concat): (orig_block, padded_block, n_blocks) pads each
+        # of n_blocks channel blocks from orig_block to padded_block channels.
+        self.pad_out = 0
+        self.pad_in_ok = False
+        self.pad_out_spec = None  # overrides pad_out when set
+        self.pad_in_spec = None
+        # pad_in_map: list of (canonical, padded) channel-block widths — for
+        # consumers of a Concat whose inputs are heterogeneously padded (the
+        # kernel rows are split per block and zero-padded in place, so the
+        # Concat never has to materialize trimmed copies of its inputs).
+        self.pad_in_map = None
+        # dense_pad_in: grouped conv consuming a padded input executes as a
+        # dense conv with the block-diagonal expansion of its grouped kernel
+        # (zero rows at padded positions) — avoids materializing a slice of
+        # the big padded activation just to preserve the group partition.
+        self.dense_pad_in = False
 
     def init(self, key):
         fan_in = self.c1 // self.g * self.k * self.k
@@ -372,16 +406,72 @@ class Conv(Module):
             "bn": _bn_init(self.c2),
         }
 
+    def _out_spec(self):
+        if self.pad_out_spec:
+            return self.pad_out_spec
+        if self.pad_out and self.pad_out > self.c2:
+            return (self.c2, self.pad_out, 1)
+        return None
+
     def __call__(self, v, x, ctx: Ctx):
         x = x.astype(ctx.dtype)
+        k = v["conv"]["kernel"]
+        groups = self.g
+        if self.pad_in_map and x.shape[-1] > self.c1:
+            blocks, off = [], 0
+            for c_blk, pc_blk in self.pad_in_map:
+                blk = k[:, :, off : off + c_blk, :]
+                if pc_blk > c_blk:
+                    blk = jnp.pad(blk, ((0, 0), (0, 0), (0, pc_blk - c_blk), (0, 0)))
+                blocks.append(blk)
+                off += c_blk
+            k = jnp.concatenate(blocks, axis=2)
+        elif self.pad_in_spec:
+            c, pc, nb = self.pad_in_spec
+            k = k.reshape(*k.shape[:2], nb, c, k.shape[-1])
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pc - c), (0, 0)))
+            k = k.reshape(*k.shape[:2], nb * pc, k.shape[-1])
+        elif self.pad_in_ok and x.shape[-1] > self.c1:
+            if self.g == 1:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
+            elif self.dense_pad_in:
+                cin_g, co_g = self.c1 // self.g, self.c2 // self.g
+                dense = jnp.zeros((self.k, self.k, x.shape[-1], self.c2), k.dtype)
+                for gi in range(self.g):
+                    dense = dense.at[:, :, gi * cin_g : (gi + 1) * cin_g, gi * co_g : (gi + 1) * co_g].set(
+                        k[:, :, :, gi * co_g : (gi + 1) * co_g]
+                    )
+                k, groups = dense, 1
+            else:
+                x = x[..., : self.c1]
+        spec = self._out_spec()
+        if spec:
+            c, pc, nb = spec
+            k = k.reshape(*k.shape[:-1], nb, c)
+            k = jnp.pad(k, ((0, 0),) * (k.ndim - 1) + ((0, pc - c),))
+            k = k.reshape(*k.shape[:-2], nb * pc)
         if self.spd:
+            assert spec is None and not self.pad_in_ok and not self.pad_in_spec, (
+                "spd and lane_pad are mutually exclusive"
+            )
             y = _spd_conv2d(_spd_rearrange(x, self.g), v["conv"]["kernel"], self.g)
         else:
-            y = conv2d(x, v["conv"]["kernel"], self.s, self.p, self.d, self.g)
+            y = conv2d(x, k, self.s, self.p, self.d, groups)
+
+        def padp(p):  # per-channel param -> padded blocks
+            return jnp.pad(p.reshape(nb, c), ((0, 0), (0, pc - c))).reshape(-1)
+
         if "bn" in v:
-            y = _bn_apply(v["bn"], y, ctx, f"{self.path}.bn")
+            bn = {kk: padp(vv) for kk, vv in v["bn"].items()} if spec else v["bn"]
+            y = _bn_apply(bn, y, ctx, f"{self.path}.bn")
+            if spec and ctx.train:
+                # tapped batch stats back to canonical width for merge_bn_updates
+                bm, bv = ctx.updates[f"{self.path}.bn"]
+                strip = lambda t: t.reshape(nb, pc)[:, :c].reshape(-1)  # noqa: E731
+                ctx.updates[f"{self.path}.bn"] = (strip(bm), strip(bv))
         else:
-            y = (y + v["conv"]["bias"]).astype(ctx.dtype)
+            b = padp(v["conv"]["bias"]) if spec else v["conv"]["bias"]
+            y = (y + b).astype(ctx.dtype)
         if self.act is True:
             return silu(y)
         if self.act == "relu":
@@ -603,11 +693,17 @@ class Concat(Module):
 
     def __init__(self, dim=1):
         self.dim = -1 if dim == 1 else dim
+        # lane padding (enable_lane_pad): canonical channel count per input, or
+        # None. Concatenation is positional, so padded inputs must be sliced
+        # back to their real channels (the padded tail is exact zeros).
+        self.trim_to = None
 
     def init(self, key):
         return {}
 
     def __call__(self, v, xs, ctx: Ctx):
+        if self.trim_to:
+            xs = [x[..., :t] if (t and x.shape[-1] > t) else x for x, t in zip(xs, self.trim_to)]
         return jnp.concatenate(xs, axis=self.dim)
 
 
@@ -1342,6 +1438,8 @@ class RepVGGBlock(Module):
         self.c1, self.c2, self.s, self.g = c1, c2, s, g
         self.has_identity = (c2 == c1) and (s == 1)
         self.spd = False  # stride-2 space-to-depth execution (enable_spd_stride2)
+        self.pad_out = 0  # lane padding (enable_lane_pad) — see Conv
+        self.pad_in_ok = False
 
     def init(self, key):
         fan3 = self.c1 // self.g * 9
@@ -1363,6 +1461,7 @@ class RepVGGBlock(Module):
     def __call__(self, v, x, ctx: Ctx):
         x = x.astype(ctx.dtype)
         if self.spd and self.s == 2:
+            assert not self.pad_out and not self.pad_in_ok, "spd and lane_pad are mutually exclusive"
             # space-to-depth execution of the stride-2 block: one rearrange
             # feeds both branches (3x3 -> k2 s1 tap-mapped kernel; 1x1 -> slot
             # (0,0) embed). s2 blocks have no identity branch. Bit-identical
@@ -1374,14 +1473,42 @@ class RepVGGBlock(Module):
             y3 = _bn_apply(v["dense"]["bn"], _spd_conv2d(xs, v["dense"]["conv"]["kernel"], self.g), ctx, f"{self.path}.dense.bn")
             y1 = _bn_apply(v["one"]["bn"], _spd_conv2d_1x1(xs, v["one"]["conv"]["kernel"], self.g), ctx, f"{self.path}.one.bn")
             return silu(y3 + y1)
+        pad_n = self.pad_out - self.c2 if self.pad_out else 0
+        pad_in = x.shape[-1] - self.c1 if (self.pad_in_ok and x.shape[-1] > self.c1) else 0
+        if pad_in and self.g != 1:
+            x, pad_in = x[..., : self.c1], 0
+
+        def padk(k):
+            if pad_in:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_in), (0, 0)))
+            if pad_n > 0:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_n)))
+            return k
+
         if "kernel" in v:  # fused deploy form
-            y = conv2d(x, v["kernel"], self.s, 1, 1, self.g) + v["bias"]
+            b = jnp.pad(v["bias"], (0, pad_n)) if pad_n > 0 else v["bias"]
+            y = conv2d(x, padk(v["kernel"]), self.s, 1, 1, self.g) + b
             return silu(y.astype(ctx.dtype))
-        y3 = _bn_apply(v["dense"]["bn"], conv2d(x, v["dense"]["conv"]["kernel"], self.s, 1, 1, self.g), ctx, f"{self.path}.dense.bn")
-        y1 = _bn_apply(v["one"]["bn"], conv2d(x, v["one"]["conv"]["kernel"], self.s, 0, 1, self.g), ctx, f"{self.path}.one.bn")
+
+        def bnp(bn):
+            return _bn_pad(bn, self.pad_out) if pad_n > 0 else bn
+
+        y3 = _bn_apply(bnp(v["dense"]["bn"]), conv2d(x, padk(v["dense"]["conv"]["kernel"]), self.s, 1, 1, self.g), ctx, f"{self.path}.dense.bn")
+        y1 = _bn_apply(bnp(v["one"]["bn"]), conv2d(x, padk(v["one"]["conv"]["kernel"]), self.s, 0, 1, self.g), ctx, f"{self.path}.one.bn")
         y = y3 + y1
         if self.has_identity:
-            y = y + _bn_apply(v["idbn"], x, ctx, f"{self.path}.idbn")
+            assert pad_n <= 0 or x.shape[-1] == self.pad_out, (
+                "lane-padded identity RepVGG needs an equally padded input"
+            )
+            idbn = _bn_pad(v["idbn"], x.shape[-1]) if pad_in else v["idbn"]
+            y = y + _bn_apply(idbn, x, ctx, f"{self.path}.idbn")
+        if ctx.train:  # tapped batch stats back to canonical widths
+            subs = [("dense.bn", self.c2), ("one.bn", self.c2)] if pad_n > 0 else []
+            if self.has_identity and pad_in:
+                subs.append(("idbn", self.c1))
+            for sub, cc in subs:
+                bm, bv = ctx.updates[f"{self.path}.{sub}"]
+                ctx.updates[f"{self.path}.{sub}"] = (bm[:cc], bv[:cc])
         return silu(y)
 
     def fuse_vars(self, v):

@@ -266,6 +266,7 @@ class DeformableTransformerDecoderLayer(Module):
 
 
 def inverse_sigmoid(x, eps=1e-5):
+    """Numerically-clamped logit: log(x / (1-x)) (RT-DETR decoder refinement)."""
     x = jnp.clip(x, eps, 1 - eps)
     return jnp.log(x / (1 - x))
 

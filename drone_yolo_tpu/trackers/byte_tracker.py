@@ -14,6 +14,7 @@ from drone_yolo_tpu.trackers.kalman_filter import KalmanFilterXYAH
 
 
 class TrackState:
+    """Track lifecycle states (reference trackers/basetrack.py)."""
     New = 0
     Tracked = 1
     Lost = 2
@@ -275,16 +276,19 @@ class BYTETracker:
 
 
 def joint_stracks(a, b):
+    """Union of two track lists, keeping the first occurrence per track_id."""
     seen = {t.track_id for t in a}
     return a + [t for t in b if t.track_id not in seen]
 
 
 def sub_stracks(a, b):
+    """Tracks of `a` whose track_id does not appear in `b`."""
     ids_b = {t.track_id for t in b}
     return [t for t in a if t.track_id not in ids_b]
 
 
 def remove_duplicate_stracks(a, b):
+    """Drop cross-list duplicates (IoU distance < 0.15), keeping the longer-lived track."""
     dists = matching.iou_distance(a, b)
     pairs = np.argwhere(dists < 0.15)
     dup_a, dup_b = set(), set()

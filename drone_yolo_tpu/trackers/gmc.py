@@ -13,6 +13,7 @@ from drone_yolo_tpu.utils import LOGGER
 
 
 class GMC:
+    """Global motion compensation between frames for BoT-SORT (reference utils/gmc.py:11)."""
     def __init__(self, method: str = "sparseOptFlow", downscale: int = 2):
         self.method = method
         self.downscale = max(1, int(downscale))

@@ -366,6 +366,7 @@ _SETTINGS = None
 
 
 def get_settings() -> SettingsManager:
+    """Lazily-created singleton SettingsManager (persistent user settings)."""
     global _SETTINGS
     if _SETTINGS is None:
         _SETTINGS = SettingsManager()
@@ -409,6 +410,7 @@ def is_docker() -> bool:
 
 
 def is_github_action_running() -> bool:
+    """True when running inside a GitHub Actions workflow."""
     return "GITHUB_ACTIONS" in os.environ and "GITHUB_WORKFLOW" in os.environ and "RUNNER_OS" in os.environ
 
 
@@ -437,6 +439,7 @@ def get_git_dir():
 
 
 def is_git_dir() -> bool:
+    """True when the working tree is inside a git repository."""
     return get_git_dir() is not None
 
 

@@ -17,6 +17,7 @@ from drone_yolo_tpu.utils import LOGGER, TQDM
 
 
 def default_formats():
+    """Export formats included in the benchmark matrix (skips formats whose runtime is absent)."""
     fmts = ["npz", "stablehlo", "onnx"]
     try:
         import tensorflow  # noqa: F401

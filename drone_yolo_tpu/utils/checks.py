@@ -56,6 +56,7 @@ def check_imgsz(imgsz, stride: int = 32, min_dim: int = 1, max_dim: int = 2, flo
 
 
 def parse_version(version: str = "0.0.0"):
+    """Version string -> (major, minor, patch) int tuple ('2.0.1+cpu' -> (2, 0, 1))."""
     return tuple(int(x) for x in re.findall(r"\d+", version)[:3])
 
 
@@ -86,6 +87,7 @@ def check_suffix(file, suffix=(".npz",), msg: str = ""):
 
 
 def check_yaml(file, suffix=(".yaml", ".yml")):
+    """Assert the path has a YAML suffix and return it."""
     check_suffix(file, suffix)
     return file
 
@@ -111,6 +113,7 @@ def check_numeric_stability(model, variables, imgsz: int = 64, tol: float = 2e-2
 
 
 def collect_system_info() -> str:
+    """Human-readable platform/python/jax/devices summary for bug reports."""
     import jax
 
     lines = [
@@ -125,5 +128,6 @@ def collect_system_info() -> str:
 
 
 def print_args(args: dict | None = None):
+    """Log a k=v summary of the merged run arguments."""
     if args:
         LOGGER.info(colorstr("args: ") + ", ".join(f"{k}={v}" for k, v in args.items()))

@@ -68,6 +68,7 @@ def rle_decode(rle: dict):
 
 
 def rle_area(rle: dict) -> float:
+    """Mask area of an uncompressed RLE (sum of foreground run lengths)."""
     return float(sum(rle["counts"][1::2]))
 
 

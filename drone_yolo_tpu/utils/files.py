@@ -33,6 +33,7 @@ def file_age(path) -> int:
 
 
 def file_date(path) -> str:
+    """File modification date as 'YYYY-M-D' (reference files.py)."""
     t = datetime.fromtimestamp(Path(path).stat().st_mtime)
     return f"{t.year}-{t.month}-{t.day}"
 

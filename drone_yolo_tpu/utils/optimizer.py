@@ -43,6 +43,7 @@ def label_tree(variables: dict) -> dict:
 
 
 def init_momentum(variables):
+    """Zero-initialized SGD momentum buffers matching the params pytree."""
     return jax.tree_util.tree_map(jnp.zeros_like, variables)
 
 
@@ -77,6 +78,7 @@ def sgd_step(params, grads, mom_buf, labels, lr_w, lr_b, momentum, weight_decay,
 
 
 def init_adam(variables):
+    """Zero-initialized Adam state: first/second moments + timestep."""
     z = jax.tree_util.tree_map(jnp.zeros_like, variables)
     return {"m": z, "v": jax.tree_util.tree_map(jnp.zeros_like, variables), "t": jnp.zeros((), jnp.int32)}
 

@@ -16,6 +16,9 @@ step on the chip, and reports:
 Run (axon TPU): python tools/e2e_feed.py
 Knobs: FEED_IMGSZ=640 FEED_N=192 FEED_BATCH=16 FEED_WORKERS=1 FEED_MODEL=yolov8s.yaml
        FEED_EPOCHS=2 (timed epochs after the warmup/caching epoch)
+       FEED_DEVICE_AUG=1 (host pipeline = decode+letterbox+collate only; mosaic/
+       affine/HSV/flip run inside the jitted step — measures the cores-to-feed
+       win of device_aug, VERDICT r3 next #2)  FEED_LANEPAD=1
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ def main():
     workers = int(os.environ.get("FEED_WORKERS", 1))
     model_name = os.environ.get("FEED_MODEL", "yolov8s.yaml")
     timed_epochs = int(os.environ.get("FEED_EPOCHS", 2))
+    device_aug = os.environ.get("FEED_DEVICE_AUG", "") == "1"
 
     root = Path(os.environ.get("FEED_WORK", "/tmp/e2e_feed")) / f"ds{imgsz}_{n_imgs}"
     yaml_path = root / "data.yaml"
@@ -63,7 +67,9 @@ def main():
         yaml_path = Path(make_dense_dataset(root, n_train=n_imgs, n_val=8, size=imgsz, seed=3, nc=6))
     data = check_det_dataset(str(yaml_path))
 
-    cfg = get_cfg(overrides={"imgsz": imgsz, "batch": batch, "workers": workers, "data": str(yaml_path)})
+    cfg = get_cfg(
+        overrides={"imgsz": imgsz, "batch": batch, "workers": workers, "data": str(yaml_path), "device_aug": device_aug}
+    )
     ds = build_yolo_dataset(cfg, data["train"], batch, data, mode="train")
     loader = build_dataloader(ds, batch, workers, shuffle=True, seed=0)
 
@@ -80,12 +86,23 @@ def main():
     # -- phase B: fed training (loader -> uint8 ship -> jitted step) --
     model = DetectionModel(model_name, nc=int(data["nc"]))
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    if os.environ.get("FEED_LANEPAD"):
+        print(f"lane_pad: {model.enable_lane_pad()} modules padded", file=sys.stderr)
     criterion = v8DetectionLoss(model)
+    if device_aug:
+        from drone_yolo_tpu.data.device_aug import aug_hyp_from_args, device_augment
+
+        aug_hyp = aug_hyp_from_args(cfg)
 
     @jax.jit
     def step(params, dev_batch):
-        img = dev_batch["img"].astype(jnp.float32) / 255.0  # uint8 ships, normalize in-graph
-        dev_batch = {**dev_batch, "img": img}
+        img = dev_batch["img"].astype(jnp.float32)
+        if device_aug:  # mosaic/affine/HSV/flip inside the step (normalizes to 0..1)
+            dev_batch = device_augment({**dev_batch, "img": img}, jax.random.PRNGKey(0), aug_hyp, True)
+            img = dev_batch["img"]
+        else:
+            img = img / 255.0  # uint8 ships, normalize in-graph
+            dev_batch = {**dev_batch, "img": img}
 
         def loss_fn(p):
             ctx = M.Ctx(train=True, dtype=jnp.bfloat16, targets=dev_batch, rng=jax.random.PRNGKey(0))
@@ -138,7 +155,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"e2e_feed_{model_name.split('.')[0]}_{imgsz}px_b{batch}_w{workers}",
+                "metric": f"e2e_feed_{model_name.split('.')[0]}_{imgsz}px_b{batch}_w{workers}"
+                + ("_device_aug" if device_aug else ""),
                 "host_img_per_s": round(host_rate, 1),
                 "fed_img_per_s": round(fed_rate, 1),
                 "device_img_per_s": round(dev_rate, 1),

@@ -50,6 +50,12 @@ def main():
     if spd2:
         n = model.enable_spd_stride2()
         print(f"spd_stride2: {n} convs transformed")
+    if os.environ.get("PROF_LANEPAD"):
+        n = model.enable_lane_pad(
+            int(os.environ.get("PROF_LANEPAD_TARGET", 128)),
+            inner_target=int(os.environ["PROF_LANEPAD_INNER"]) if os.environ.get("PROF_LANEPAD_INNER") else None,
+        )
+        print(f"lane_pad: {n} modules padded")
     criterion = v8DetectionLoss(model)
 
     for batch in batches:
