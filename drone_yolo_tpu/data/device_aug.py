@@ -33,8 +33,19 @@ TPU-first design decisions:
   (`augment.py:1280`: w,h > 2px, area ratio > 0.1, aspect < 100) as a mask
   update — shapes stay static at 4M (mosaic) / M (closed) GT slots.
 
-Scope: detect task (the flagship pipeline). Keypoints/segments/OBB keep the
-host path (`device_aug` is ignored with a warning).
+Scope: detect, segment, and pose tasks. Segment warps the overlap-index mask
+(B, S/r, S/r) with NEAREST sampling (instance IDs cannot be interpolated;
+the reference instead warps polygons analytically and re-rasterizes —
+equivalent up to <=1 px boundary jitter at mask_ratio resolution), with
+companion IDs offset to their 4M slot group. Pose applies the affine to
+keypoint coordinates, zeroes visibility outside the frame (reference
+apply_keypoints, augment.py:1124), and swaps left/right identities via
+flip_idx on horizontal flip. Under scale+translate-only affines the
+axis-aligned box transform is EXACT (min/max commutes with a monotone linear
+map), so segment boxes need no polygon-extreme recomputation. Device mixup
+(beta(32,32) blend of two augmented samples + slot concat) is supported for
+detect/pose; segment+mixup falls back to host aug (an overlap-index mask
+cannot represent instances from two blended images). OBB keeps the host path.
 """
 
 from __future__ import annotations
@@ -134,6 +145,30 @@ def _cover(a, tyx, s_in, out_s, q=None, canvas=None):
     return (wy.sum(1)[:, None] * wx.sum(1)[None, :])[..., None]
 
 
+def _warp_ids(ids, a, t, q, ratio, sf, canvas):
+    """NEAREST warp of one (hm, wm) instance-ID map through the quadrant
+    placement + output affine (IDs cannot be bilinearly interpolated).
+
+    Output mask pixel m sits at image coord m*ratio; `t` is the quadrant's
+    SHIFTED translation (as fed to _warp: out(o) = src((o - t)/a) in
+    quadrant-local image coords), so the local source is (m*ratio - t)/a,
+    sampled at round(./ratio). Sources outside the quadrant or outside the
+    2S canvas (the reference's crop; canvas coord = local + q) return 0."""
+    hm, wm = ids.shape
+    del sf
+
+    def src(m_len, tt, qq):
+        local = (jnp.arange(m_len, dtype=jnp.float32) * ratio - tt) / a
+        sm = jnp.round(local / ratio).astype(jnp.int32)
+        valid = (sm >= 0) & (sm < m_len) & (local + qq >= 0) & (local + qq < canvas)
+        return jnp.clip(sm, 0, m_len - 1), valid
+
+    sy, vy = src(hm, t[0], q[0])
+    sx, vx = src(wm, t[1], q[1])
+    g = jnp.take(jnp.take(ids, sy, axis=0), sx, axis=1)
+    return jnp.where(vy[:, None] & vx[None, :], g, 0)
+
+
 def _box_candidates(w1, h1, w2, h2, area_thr=0.1, wh_thr=2.0, ar_thr=100.0, eps=1e-16):
     """reference augment.py box_candidates on static tensors."""
     ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
@@ -149,9 +184,15 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
     """
     img = batch["img"].astype(jnp.float32)  # (B, S, S, 3) in 0..255
     cls, boxes, mask = batch["cls"], batch["bboxes"].astype(jnp.float32), batch["mask"]
+    kpts = batch.get("keypoints")  # (B, M, K, 3) pixel xy + visibility (pose)
+    om = batch.get("masks")  # (B, S/r, S/r) int overlap instance-ID map (segment)
     b, s = img.shape[0], img.shape[1]
+    m_slots = cls.shape[1]
     sf = float(s)
-    r_sc, r_tr, r_sel, r_hsv, r_fl, r_fu, r_ctr = jax.random.split(rng, 7)
+    if om is not None:
+        om = om.astype(jnp.int32)
+        ratio = s // om.shape[1]
+    r_sc, r_tr, r_sel, r_hsv, r_fl, r_fu, r_ctr, r_mx, r_mxs = jax.random.split(rng, 9)
 
     # per-sample affine params (reference RandomPerspective:952 with
     # degrees/shear/perspective = 0): x' = a*(x - cx) + T,
@@ -175,8 +216,8 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
         sel = jax.random.uniform(r_sel, (b,)) < hyp["mosaic"]
         offs = [(0.0, 0.0), (0.0, sf), (sf, 0.0), (sf, sf)]  # (oy, ox) per quadrant
 
-        def sample_out(k):
-            src = jnp.roll(img, -k, axis=0) if k else img
+        quads = []  # per-quadrant (translation, placement) after sel gating
+        for k in range(4):
             oy, ox = offs[k]
             # mosaic: embedded at (oy, ox) + ctr on a canvas centered at S
             qk = jnp.stack([oy + ctr[:, 0], ox + ctr[:, 1]], 1)
@@ -184,23 +225,40 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
             # plain: own image centered (offset S/2); companions contribute 0.
             # S/2 placement can never leave the canvas, so the mask is inert
             t_pl = jnp.stack([a * (-sf / 2) + t[:, 0], a * (-sf / 2) + t[:, 1]], 1)
-            tk = jnp.where(sel[:, None], t_mos, t_pl)
-            q_pl = jnp.full((b, 2), sf / 2)
-            qsel = jnp.where(sel[:, None], qk, q_pl)
+            quads.append((
+                jnp.where(sel[:, None], t_mos, t_pl),
+                jnp.where(sel[:, None], qk, jnp.full((b, 2), sf / 2)),
+            ))
+
+        total = None
+        cover = None
+        for k, (tk, qsel) in enumerate(quads):
+            src = jnp.roll(img, -k, axis=0) if k else img
             out = jax.vmap(_warp, in_axes=(0, 0, 0, None, 0, None))(src, a, tk, s, qsel, 2.0 * sf)
             cov = jax.vmap(_cover, in_axes=(0, 0, None, None, 0, None))(a, tk, s, s, qsel, 2.0 * sf)
             if k:
                 out = jnp.where(sel[:, None, None, None], out, 0.0)
                 cov = jnp.where(sel[:, None, None, None], cov, 0.0)
-            return out, cov
-
-        total = None
-        cover = None
-        for k in range(4):
-            o, c = sample_out(k)
-            total = o if total is None else total + o
-            cover = c if cover is None else cover + c
+            total = out if total is None else total + out
+            cover = cov if cover is None else cover + cov
         img_out = total + GRAY * (1.0 - cover)
+
+        if om is not None:
+            # overlap-ID map: nearest-warp each quadrant, companion IDs offset
+            # to their slot group (slot k*M + (id-1) after the label concat);
+            # quadrants are disjoint on the canvas so first-nonzero wins
+            out_ids = jnp.zeros_like(om)
+            for k, (tk, qsel) in enumerate(quads):
+                ids = jnp.roll(om, -k, axis=0) if k else om
+                if k:
+                    ids = jnp.where(ids > 0, ids + k * m_slots, 0)
+                idw = jax.vmap(_warp_ids, in_axes=(0, 0, 0, 0, None, None, None))(
+                    ids, a, tk, qsel, ratio, sf, 2.0 * sf
+                )
+                if k:
+                    idw = jnp.where(sel[:, None, None], idw, 0)
+                out_ids = jnp.where(out_ids == 0, idw, out_ids)
+            om = out_ids
 
         # labels: 4 groups of M slots with quadrant (+ center jitter) offsets
         # (plain: only k=0, offset S/2); canvas-clipped to [0, 2S] (reference
@@ -218,16 +276,26 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
             off = jnp.where(sel[:, None, None], off_mos, off_pl)
             if k:
                 mk = mk * sel[:, None]
-            parts.append((ck, jnp.clip(bk + off * mk[..., None], 0.0, 2.0 * sf), mk))
+            kk = None
+            if kpts is not None:
+                kk = jnp.roll(kpts, -k, axis=0) if k else kpts
+                kk = jnp.concatenate([kk[..., :2] + off[:, :, None, :2], kk[..., 2:]], axis=-1)
+            parts.append((ck, jnp.clip(bk + off * mk[..., None], 0.0, 2.0 * sf), mk, kk))
         cls = jnp.concatenate([p[0] for p in parts], axis=1)
         boxes = jnp.concatenate([p[1] for p in parts], axis=1)
         mask = jnp.concatenate([p[2] for p in parts], axis=1)
+        if kpts is not None:
+            kpts = jnp.concatenate([p[3] for p in parts], axis=1)
         center = sf
     else:
         t_pl = jnp.stack([a * (-sf / 2) + t[:, 0], a * (-sf / 2) + t[:, 1]], 1)
         img_out = jax.vmap(_warp, in_axes=(0, 0, 0, None))(img, a, t_pl, s)
         cov = jax.vmap(_cover, in_axes=(0, 0, None, None))(a, t_pl, s, s)
         img_out = img_out + GRAY * (1.0 - cov)
+        if om is not None:
+            om = jax.vmap(_warp_ids, in_axes=(0, 0, 0, 0, None, None, None))(
+                om, a, t_pl, jnp.full((b, 2), sf / 2), ratio, sf, 2.0 * sf
+            )
         center = sf / 2
 
     # affine on boxes (x' = a*(x - center) + tx), clip, candidate filter
@@ -250,8 +318,38 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
     # rescales the pre-affine boxes by the draw's scale factor before the
     # candidate test ("Make the bboxes have the same scale with new_bboxes",
     # instances.scale(scale_w=scale, ...) at augment.py:1251-1254), so the
-    # area-ratio term measures clipping loss only — identical semantics here
-    mask = mask * _box_candidates(w1 * av[..., 0], h1 * av[..., 0], w2, h2).astype(mask.dtype)
+    # area-ratio term measures clipping loss only — identical semantics here.
+    # Segment uses the reference's looser 0.01 area threshold (augment.py:1253)
+    area_thr = 0.01 if om is not None else 0.1
+    mask = mask * _box_candidates(w1 * av[..., 0], h1 * av[..., 0], w2, h2, area_thr=area_thr).astype(mask.dtype)
+
+    if kpts is not None:
+        # keypoint affine + out-of-frame visibility zeroing (reference
+        # apply_keypoints, augment.py:1124: coords keep their values, only
+        # the visible flag drops)
+        ak = a[:, None, None]
+        kx = ak * (kpts[..., 0] - center) + t[:, None, None, 1]
+        ky = ak * (kpts[..., 1] - center) + t[:, None, None, 0]
+        inside = (kx >= 0) & (kx < sf) & (ky >= 0) & (ky < sf)
+        kpts = jnp.stack([kx, ky, kpts[..., 2] * inside], axis=-1)
+
+    # device mixup (reference MixUp, augment.py:867: beta(32,32) blend of two
+    # fully pre-augmented samples, labels concatenated): the companion is the
+    # next sample's augmented output (in-batch roll). Runs BEFORE HSV/flip,
+    # matching the reference transform order (v8_transforms:2287). Segment is
+    # excluded (an overlap-ID map cannot hold instances of two blended images
+    # — the trainer falls back to host aug for segment+mixup).
+    if hyp.get("mixup", 0.0) > 0:
+        assert om is None, "device mixup is not supported for segment (overlap-ID masks)"
+        rb = jax.random.beta(r_mx, 32.0, 32.0, (b,))[:, None, None, None]
+        do = jax.random.uniform(r_mxs, (b,)) < hyp["mixup"]
+        comp = jnp.roll(img_out, -1, axis=0)
+        img_out = jnp.where(do[:, None, None, None], img_out * rb + comp * (1.0 - rb), img_out)
+        cls = jnp.concatenate([cls, jnp.roll(cls, -1, axis=0)], axis=1)
+        boxes = jnp.concatenate([boxes, jnp.roll(boxes, -1, axis=0)], axis=1)
+        mask = jnp.concatenate([mask, jnp.roll(mask, -1, axis=0) * do[:, None]], axis=1)
+        if kpts is not None:
+            kpts = jnp.concatenate([kpts, jnp.roll(kpts, -1, axis=0)], axis=1)
 
     # HSV jitter (reference RandomHSV:1303; identity when all gains are 0)
     if hyp["hsv_h"] or hyp["hsv_s"] or hyp["hsv_v"]:
@@ -264,7 +362,8 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
         val = jnp.clip(hsv[..., 2] * gains[:, None, None, 2], 0.0, 255.0)
         img_out = hsv_to_rgb(jnp.stack([h, sat, val], axis=-1))
 
-    # flips (boxes follow)
+    # flips (boxes/masks/keypoints follow; flip_idx swaps left/right keypoint
+    # identities on horizontal flip only, reference RandomFlip augment.py:1392)
     if hyp["fliplr"]:
         do = jax.random.uniform(r_fl, (b,)) < hyp["fliplr"]
         img_out = jnp.where(do[:, None, None, None], img_out[:, :, ::-1], img_out)
@@ -273,6 +372,14 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
         boxes = jnp.where(
             do[:, None, None], jnp.stack([fx1, boxes[..., 1], fx2, boxes[..., 3]], -1), boxes
         )
+        if om is not None:
+            om = jnp.where(do[:, None, None], om[:, :, ::-1], om)
+        if kpts is not None:
+            kf = jnp.stack([sf - kpts[..., 0], kpts[..., 1], kpts[..., 2]], axis=-1)
+            flip_idx = hyp.get("flip_idx")
+            if flip_idx:
+                kf = kf[:, :, jnp.asarray(flip_idx, jnp.int32), :]
+            kpts = jnp.where(do[:, None, None, None], kf, kpts)
     if hyp["flipud"]:
         do = jax.random.uniform(r_fu, (b,)) < hyp["flipud"]
         img_out = jnp.where(do[:, None, None, None], img_out[:, ::-1], img_out)
@@ -281,17 +388,29 @@ def device_augment(batch, rng, hyp: dict, mosaic_on: bool):
         boxes = jnp.where(
             do[:, None, None], jnp.stack([boxes[..., 0], fy1, boxes[..., 2], fy2], -1), boxes
         )
+        if om is not None:
+            om = jnp.where(do[:, None, None], om[:, ::-1], om)
+        if kpts is not None:
+            kf = jnp.stack([kpts[..., 0], sf - kpts[..., 1], kpts[..., 2]], axis=-1)
+            kpts = jnp.where(do[:, None, None, None], kf, kpts)
 
     out = dict(batch)
     out["img"] = jnp.clip(img_out, 0.0, 255.0) / 255.0
     out["cls"] = cls
     out["bboxes"] = boxes
     out["mask"] = mask
+    if kpts is not None:
+        out["keypoints"] = kpts
+    if om is not None:
+        out["masks"] = om
     return out
 
 
-def aug_hyp_from_args(args) -> dict:
-    """Extract the trace-time constant dict from the merged config."""
+def aug_hyp_from_args(args, flip_idx=None) -> dict:
+    """Extract the trace-time constant dict from the merged config.
+
+    `flip_idx` (pose only): the dataset's left/right keypoint permutation for
+    horizontal flips, passed as a tuple so it stays a trace-time constant."""
     return {
         "mosaic": float(args.mosaic),
         "mosaic_center": 0.5,  # reference border fraction (augment.py:658)
@@ -302,4 +421,6 @@ def aug_hyp_from_args(args) -> dict:
         "hsv_v": float(args.hsv_v),
         "fliplr": float(args.fliplr),
         "flipud": float(args.flipud),
+        "mixup": float(getattr(args, "mixup", 0.0) or 0.0),
+        "flip_idx": tuple(int(i) for i in flip_idx) if flip_idx is not None else None,
     }

@@ -209,10 +209,15 @@ class BaseTrainer(CallbackMixin):
             self.mesh = make_mesh(devices=devices)
         LOGGER.info(f"Training on {n_dev} device(s) (mesh {dict(self.mesh.shape)}), global batch {self.batch_size}")
 
-        # on-device augmentation (data/device_aug.py): detect task only
+        # on-device augmentation (data/device_aug.py): detect/segment/pose
         self.device_aug = bool(getattr(self.args, "device_aug", False))
-        if self.device_aug and self.args.task != "detect":
+        if self.device_aug and self.args.task not in ("detect", "segment", "pose"):
             LOGGER.warning(f"device_aug not supported for task={self.args.task}; using host augmentation")
+            self.device_aug = False
+            self.args.device_aug = False
+        if self.device_aug and self.args.task == "segment" and (self.args.mixup or 0) > 0:
+            # an overlap-ID mask cannot represent instances of two blended images
+            LOGGER.warning("device_aug does not support segment+mixup; using host augmentation")
             self.device_aug = False
             self.args.device_aug = False
         if self.device_aug:
@@ -292,7 +297,7 @@ class BaseTrainer(CallbackMixin):
         if device_aug:
             from drone_yolo_tpu.data.device_aug import aug_hyp_from_args, device_augment
 
-            aug_hyp = aug_hyp_from_args(self.args)
+            aug_hyp = aug_hyp_from_args(self.args, flip_idx=getattr(self.trainset, "flip_idx", None))
 
         def step_fn(state, batch, lr_w, lr_b, mom, target_sz, aug_mosaic=False):
             # fold in BOTH the optimizer step and the micro-step counter: with

@@ -183,6 +183,10 @@ class BaseModel:
         55-70% of the flagship train step, the convolutions 6%). At C=128 the
         lanes are full and the dim-splits disappear; a width-bumped probe of
         the padded graph measured +20% step throughput DESPITE the extra math.
+        This in-step transform lands +7.6% (162.1 -> 150.7 ms/step, flagship
+        b32; per-family xprof: dim-split wgrad fusions 51 -> 18 ms, copies
+        28 -> 10 ms per 2 steps, partially offset by the padded convs' real
+        MXU time and 4x BN-stat traffic at P1/P2).
 
         Exactness: padded kernel/BN-param slots are zeros built in-step from
         the canonical params, so padded activations are exact zeros in every
@@ -215,7 +219,11 @@ class BaseModel:
                 # they carry the same dim-split wgrad problem as the top-level
                 # convs (phase-A measurement: outputs-only padding LOST 6%,
                 # internals are where the probe's +20% lives)
-                inner = inner_target or target
+                # half-lane internals measured best (flagship b32, ms/step):
+                # inner=64 -> 150.7, inner=128 -> 162.5 (the 4x-wider
+                # bottlenecks' real compute eats the layout win), no padding
+                # -> 162.1. Half-lane still kills the dim-split wgrads.
+                inner = inner_target or max(64, target // 2)
                 c = mod.c
                 if c < inner:
                     mod.cv1.pad_out_spec = (c, inner, 2)
@@ -228,11 +236,15 @@ class BaseModel:
                 mod.cv2.pad_out = target
                 padded[spec.i] = mod.cv2.c2
                 n += 1
+        # NOT padded, by measurement: the Detect cv2/cv3 towers (64-80ch convs,
+        # the P2 tower at 160^2). Padding all levels ran 155.3 ms/step, the P2
+        # level alone 154.8, no head padding 150.7 (flagship b32) — the padded
+        # towers' real extra compute exceeds their layout win.
         if not n:
             return 0
 
         def allow(mod):
-            if isinstance(mod, (M.Conv, M.RepVGGBlock)):
+            if isinstance(mod, (M.Conv, M.RepVGGBlock, M.Conv2dRaw)):
                 mod.pad_in_ok = True
                 if isinstance(mod, M.Conv) and mod.g > 1:
                     # grouped consumers of a padded input run as a dense

@@ -292,6 +292,7 @@ class Conv2dRaw(Module):
         self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
         self.p = autopad(k, p, d)
         self.bias = bias
+        self.pad_in_ok = False  # lane padding (enable_lane_pad) — see Conv
 
     def init(self, key):
         fan_in = self.c1 // self.g * self.k * self.k
@@ -301,7 +302,13 @@ class Conv2dRaw(Module):
         return v
 
     def __call__(self, v, x, ctx: Ctx):
-        y = conv2d(x.astype(ctx.dtype), v["kernel"], self.s, self.p, self.d, self.g)
+        k = v["kernel"]
+        if self.pad_in_ok and x.shape[-1] > self.c1:
+            if self.g == 1:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
+            else:
+                x = x[..., : self.c1]
+        y = conv2d(x.astype(ctx.dtype), k, self.s, self.p, self.d, self.g)
         if "bias" in v:
             y = y + v["bias"]
         return y.astype(ctx.dtype)
@@ -435,13 +442,15 @@ class Conv(Module):
             if self.g == 1:
                 k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
             elif self.dense_pad_in:
+                # one einsum against a constant block-diagonal scatter mask
+                # (a DUS-per-group loop compiles slowly and serializes)
                 cin_g, co_g = self.c1 // self.g, self.c2 // self.g
-                dense = jnp.zeros((self.k, self.k, x.shape[-1], self.c2), k.dtype)
+                e = np.zeros((x.shape[-1], cin_g, self.c2), k.dtype)
                 for gi in range(self.g):
-                    dense = dense.at[:, :, gi * cin_g : (gi + 1) * cin_g, gi * co_g : (gi + 1) * co_g].set(
-                        k[:, :, :, gi * co_g : (gi + 1) * co_g]
-                    )
-                k, groups = dense, 1
+                    for j in range(cin_g):
+                        e[gi * cin_g + j, j, gi * co_g : (gi + 1) * co_g] = 1.0
+                k = jnp.einsum("hwjc,ijc->hwic", k, jnp.asarray(e))
+                groups = 1
             else:
                 x = x[..., : self.c1]
         spec = self._out_spec()

@@ -187,6 +187,113 @@ def _train(tmp_path, data_yaml, name, epochs=2, **kw):
     ]
 
 
+@pytest.mark.smoke
+def test_mask_id_warp_mosaic_center_crop():
+    """Overlap-ID masks through the device mosaic (nearest warp): with identity
+    affine and mosaic_center=0 the result is the canvas center crop with
+    companion IDs offset to their 4M slot groups."""
+    from drone_yolo_tpu.data.device_aug import device_augment
+
+    s, hm, b, m = 64, 16, 4, 3
+    rng = np.random.default_rng(3)
+    om = rng.integers(0, m + 1, (b, hm, hm)).astype(np.int32)
+    batch = {
+        "img": jnp.asarray(rng.integers(0, 255, (b, s, s, 3)), jnp.float32),
+        "cls": jnp.zeros((b, m)),
+        "bboxes": jnp.asarray(np.tile(np.array([8.0, 8.0, 40.0, 40.0], np.float32), (b, m, 1))),
+        "mask": jnp.ones((b, m)),
+        "masks": jnp.asarray(om),
+    }
+    hyp = dict(
+        mosaic=1.0, mosaic_center=0.0, scale=0.0, translate=0.0,
+        hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0, flipud=0,
+    )
+    out = device_augment(batch, jax.random.PRNGKey(0), hyp, mosaic_on=True)
+    got = np.asarray(out["masks"])
+    half = hm // 2
+    expect = np.zeros((b, hm, hm), np.int32)
+    for i in range(b):
+        offs = lambda ids, k: np.where(ids > 0, ids + k * m, 0)  # noqa: E731
+        expect[i, :half, :half] = om[i, half:, half:]
+        expect[i, :half, half:] = offs(om[(i + 1) % b, half:, :half], 1)
+        expect[i, half:, :half] = offs(om[(i + 2) % b, :half, half:], 2)
+        expect[i, half:, half:] = offs(om[(i + 3) % b, :half, :half], 3)
+    np.testing.assert_array_equal(got, expect)
+    assert out["cls"].shape == (b, 4 * m)
+
+
+@pytest.mark.smoke
+def test_keypoints_affine_flip_and_visibility():
+    """Pose keypoints: affine matches the box transform, out-of-frame points
+    lose visibility, lr-flip mirrors x and applies flip_idx."""
+    from drone_yolo_tpu.data.device_aug import device_augment
+
+    s, b, m, k = 64, 2, 2, 4
+    kp = np.zeros((b, m, k, 3), np.float32)
+    kp[..., 0] = np.array([10.0, 30.0, 50.0, 62.0])
+    kp[..., 1] = np.array([12.0, 20.0, 40.0, 60.0])
+    kp[..., 2] = 2.0
+    batch = {
+        "img": jnp.asarray(np.random.default_rng(0).integers(0, 255, (b, s, s, 3)), jnp.float32),
+        "cls": jnp.zeros((b, m)),
+        "bboxes": jnp.asarray(np.tile(np.array([8.0, 8.0, 40.0, 40.0], np.float32), (b, m, 1))),
+        "mask": jnp.ones((b, m)),
+        "keypoints": jnp.asarray(kp),
+    }
+    # identity affine, forced lr flip with a reversing flip_idx
+    hyp = dict(
+        mosaic=0.0, mosaic_center=0.0, scale=0.0, translate=0.0,
+        hsv_h=0, hsv_s=0, hsv_v=0, fliplr=1.0, flipud=0,
+        flip_idx=(3, 2, 1, 0),
+    )
+    out = device_augment(batch, jax.random.PRNGKey(1), hyp, mosaic_on=False)
+    got = np.asarray(out["keypoints"])
+    # x -> s - x then keypoint order reversed
+    exp_x = (s - kp[..., 0])[:, :, ::-1]
+    np.testing.assert_allclose(got[..., 0], exp_x, atol=1e-4)
+    np.testing.assert_allclose(got[..., 1], kp[..., 1][:, :, ::-1], atol=1e-4)
+    assert (got[..., 2] == 2.0).all()  # all in-frame after flip
+
+    # scale pushes the far keypoint out of frame -> visibility drops to 0
+    hyp2 = dict(hyp, fliplr=0.0, scale=0.0, translate=0.0)
+    kp2 = kp.copy()
+    kp2[..., 0] = np.array([10.0, 30.0, 50.0, 70.0])  # 70 > 64: outside
+    out2 = device_augment({**batch, "keypoints": jnp.asarray(kp2)}, jax.random.PRNGKey(1), hyp2, mosaic_on=False)
+    vis = np.asarray(out2["keypoints"])[..., 2]
+    assert (vis[:, :, 3] == 0.0).all() and (vis[:, :, :3] == 2.0).all()
+
+
+@pytest.mark.smoke
+def test_device_mixup_blends_and_concats():
+    from drone_yolo_tpu.data.device_aug import device_augment
+
+    s, b, m = 32, 4, 2
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (b, s, s, 3)).astype(np.float32)
+    batch = {
+        "img": jnp.asarray(img),
+        "cls": jnp.asarray(np.arange(b * m, dtype=np.float32).reshape(b, m)),
+        "bboxes": jnp.asarray(np.tile(np.array([4.0, 4.0, 20.0, 20.0], np.float32), (b, m, 1))),
+        "mask": jnp.ones((b, m)),
+    }
+    hyp = dict(
+        mosaic=0.0, mosaic_center=0.0, scale=0.0, translate=0.0,
+        hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0, flipud=0, mixup=1.0,
+    )
+    out = device_augment(batch, jax.random.PRNGKey(2), hyp, mosaic_on=False)
+    assert out["cls"].shape == (b, 2 * m)
+    # companion slots carry the rolled labels and stay active
+    np.testing.assert_allclose(np.asarray(out["cls"])[:, m:], np.roll(np.arange(b * m).reshape(b, m), -1, 0))
+    assert np.asarray(out["mask"]).sum() == b * 2 * m
+    # blended image is a strict convex combination (beta(32,32) keeps r in (0,1))
+    blend = np.asarray(out["img"]) * 255.0
+    comp = np.roll(img, -1, 0)
+    lo = np.minimum(img, comp) - 0.6
+    hi = np.maximum(img, comp) + 0.6
+    assert (blend >= lo).all() and (blend <= hi).all()
+    assert not np.allclose(blend, img, atol=0.5)  # actually mixed
+
+
 def test_zero_aug_device_path_matches_host_path(tmp_path):
     yaml_path = make_dataset(tmp_path / "d", n_train=8, n_val=4, size=96, nc=4, seed=5)
     _, host = _train(tmp_path, yaml_path, "host", device_aug=False, **NO_AUG)

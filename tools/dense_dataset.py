@@ -102,7 +102,7 @@ def make_dense_image(rng: np.random.Generator, size: int = 320, n_obj: tuple[int
     return img, labels
 
 
-def make_dense_dataset(root, n_train: int = 160, n_val: int = 96, size: int = 320, seed: int = 0, nc: int = 6):
+def make_dense_dataset(root, n_train: int = 160, n_val: int = 96, size: int = 320, seed: int = 0, nc: int = 6, obj_px: tuple = (6, 24)):
     """Write the dataset to `root`; returns the data.yaml path."""
     import cv2
 
@@ -112,7 +112,7 @@ def make_dense_dataset(root, n_train: int = 160, n_val: int = 96, size: int = 32
         (root / "images" / split).mkdir(parents=True, exist_ok=True)
         (root / "labels" / split).mkdir(parents=True, exist_ok=True)
         for i in range(n):
-            img, labels = make_dense_image(rng, size=size, nc=nc)
+            img, labels = make_dense_image(rng, size=size, nc=nc, obj_px=obj_px)
             cv2.imwrite(str(root / "images" / split / f"{split}_{i:04d}.jpg"), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
             with open(root / "labels" / split / f"{split}_{i:04d}.txt", "w") as f:
                 for lb in labels:

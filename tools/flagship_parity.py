@@ -213,6 +213,69 @@ def cmd_ours(platform_note: str = ""):
     print(json.dumps(out))
 
 
+def cmd_ablation():
+    """Reproduce the paper's architecture ablation IN OUR FRAMEWORK (VERDICT
+    r3 next #6): train yolov8s (P3-P5), yolov8s-p2 (adds the stride-4 level),
+    and the flagship yolov8s-p2-repvgg-sf on a HARDER dense proxy (4-12 px
+    objects — below what a stride-8 P3 grid resolves cleanly) and check the
+    README's qualitative result (/root/reference/README.md:3-5): the P2 head
+    is the main gain; RepVGG + sandwich-fusion are ~neutral on accuracy.
+
+    Env: ABL_EPOCHS=40 ABL_NTRAIN=240 ABL_OBJPX=4,12 ABL_IMGSZ=320
+    Writes WORK/ablation.json and prints the ordering verdict.
+    """
+    _add_paths()
+    from dense_dataset import make_dense_dataset
+
+    epochs = int(os.environ.get("ABL_EPOCHS", 40))
+    n_train = int(os.environ.get("ABL_NTRAIN", 240))
+    obj_px = tuple(int(v) for v in os.environ.get("ABL_OBJPX", "4,12").split(","))
+    imgsz = int(os.environ.get("ABL_IMGSZ", 320))
+    models = ["yolov8s.yaml", "yolov8s-p2.yaml", MODEL_YAML]
+
+    ds_root = WORK / f"ablation_ds_{obj_px[0]}_{obj_px[1]}_{imgsz}"
+    yaml_path = ds_root / "data.yaml"
+    if not yaml_path.exists():
+        yaml_path = make_dense_dataset(ds_root, n_train=n_train, n_val=96, size=imgsz, seed=1, nc=NC, obj_px=obj_px)
+
+    from drone_yolo_tpu.engine.model import YOLO
+
+    hyps = dict(HYPS, epochs=epochs, imgsz=imgsz)
+    results = {}
+    for model_yaml in models:
+        t0 = time.time()
+        facade = YOLO(model_yaml, task="detect")
+        facade.train(
+            data=str(yaml_path), workers=2, project=str(WORK / "runs_ablation"),
+            name=model_yaml.split(".")[0], exist_ok=True, save=True, **hyps,
+        )
+        res = facade.val(
+            data=str(yaml_path), imgsz=imgsz, batch=BATCH, rect=False,
+            conf=0.001, iou=0.7, max_det=300, half=False, plots=False, verbose=False,
+        )
+        rd = res.results_dict
+        results[model_yaml] = {
+            "map50_95": round(float(rd["metrics/mAP50-95(B)"]), 4),
+            "map50": round(float(rd["metrics/mAP50(B)"]), 4),
+            "train_seconds": round(time.time() - t0, 1),
+        }
+        print(model_yaml, results[model_yaml], flush=True)
+
+    plain, p2, sf = (results[m]["map50_95"] for m in models)
+    report = {
+        "dataset": f"dense proxy {obj_px[0]}-{obj_px[1]}px objects @{imgsz}, {n_train} train imgs, {epochs} epochs",
+        "models": results,
+        "p2_gain_over_plain": round(p2 - plain, 4),
+        "sf_delta_vs_p2": round(sf - p2, 4),
+        # README.md:3-5 ordering: P2 = main gain; SF/RepVGG ~ neutral
+        "p2_is_main_gain": bool(p2 - plain > 0.01),
+        "sf_roughly_neutral": bool(abs(sf - p2) < max(0.5 * (p2 - plain), 0.02)),
+    }
+    (WORK / "ablation.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    return 0 if report["p2_is_main_gain"] else 1
+
+
 def cmd_report():
     r = json.loads((WORK / "ref_result.json").read_text())
     o = json.loads((WORK / "ours_result.json").read_text())
@@ -236,4 +299,4 @@ def cmd_report():
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
-    sys.exit({"init": cmd_init, "ref": cmd_ref, "ours": cmd_ours, "report": cmd_report}[cmd]())
+    sys.exit({"init": cmd_init, "ref": cmd_ref, "ours": cmd_ours, "report": cmd_report, "ablation": cmd_ablation}[cmd]())

@@ -36,6 +36,8 @@ def build_step(model_name: str, imgsz: int, nc: int):
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     if os.environ.get("PROF_SPD2"):
         print("spd_stride2:", model.enable_spd_stride2())
+    if os.environ.get("PROF_LANEPAD"):
+        print("lane_pad:", model.enable_lane_pad())
     criterion = v8DetectionLoss(model)
 
     @jax.jit
