@@ -1,20 +1,29 @@
-"""Triton Inference Server client over the open KServe-v2 REST protocol.
+"""Triton Inference Server client over the open KServe-v2 protocol (REST + gRPC).
 
 Capability parity with `ultralytics/utils/triton.py:9-104` (TritonRemoteModel),
 re-designed without the `tritonclient` dependency: the v2 inference protocol is
 plain HTTP + JSON (with an optional binary-tensor extension), so the client
-speaks it directly via urllib. This keeps remote-serving support zero-dep and
-works against Triton as well as any KServe-v2-compatible server (including the
-local test double in tests/test_periphery.py).
+speaks it directly via urllib; the gRPC flavor is spoken through grpcio's
+generic call API with a minimal wire codec (`utils/pbwire.py`) — no generated
+stubs. Works against Triton as well as any KServe-v2-compatible server
+(including the local test doubles in tests/test_periphery.py).
 
-Protocol notes
---------------
+Protocol notes (REST)
+---------------------
 * model config:  GET  {server}/v2/models/{name}/config        (Triton extension)
   fallback:      GET  {server}/v2/models/{name}               (KServe metadata)
 * inference:     POST {server}/v2/models/{name}/infer
   Requests use the binary-data extension (JSON header + concatenated raw
   little-endian tensor bytes, sized by the ``Inference-Header-Content-Length``
   header); responses may come back either binary or pure-JSON — both parsed.
+
+Protocol notes (gRPC, scheme ``grpc://`` / ``grpcs://``)
+--------------------------------------------------------
+* service ``inference.GRPCInferenceService``: ``ModelMetadata`` for the tensor
+  signature, ``ModelInfer`` with ``raw_input_contents`` /
+  ``raw_output_contents`` (little-endian tensor bytes, the same layout the
+  REST binary extension uses). The Triton-only model-config extension is not
+  queried over gRPC, so ``self.metadata`` is None on this transport.
 """
 
 from __future__ import annotations
@@ -47,6 +56,80 @@ def _np_dtype(name: str):
     return _DTYPES[name.replace("TYPE_", "")]
 
 
+class _GrpcInference:
+    """KServe-v2 gRPC transport: generic unary calls + pbwire message codec."""
+
+    _SVC = "/inference.GRPCInferenceService/"
+
+    def __init__(self, target: str, secure: bool, timeout: float):
+        import grpc  # deferred: optional transport
+
+        self.timeout = timeout
+        channel = grpc.secure_channel(target, grpc.ssl_channel_credentials()) if secure else grpc.insecure_channel(target)
+        ident = lambda b: b  # noqa: E731 — messages are pre-encoded bytes
+        self._meta_call = channel.unary_unary(self._SVC + "ModelMetadata", request_serializer=ident, response_deserializer=ident)
+        self._infer_call = channel.unary_unary(self._SVC + "ModelInfer", request_serializer=ident, response_deserializer=ident)
+
+    # -- ModelMetadata -------------------------------------------------------
+    def metadata(self, model: str) -> dict:
+        from drone_yolo_tpu.utils import pbwire as pb
+
+        req = pb.string_field(1, model)  # ModelMetadataRequest.name
+        resp = self._meta_call(req, timeout=self.timeout)
+
+        def tensor_meta(buf: bytes) -> dict:  # TensorMetadata{name=1, datatype=2, shape=3}
+            t = {"name": "", "datatype": "", "shape": []}
+            for f, w, v in pb.fields(buf):
+                if f == 1:
+                    t["name"] = v.decode()
+                elif f == 2:
+                    t["datatype"] = v.decode()
+                elif f == 3:
+                    t["shape"] += pb.unpack_int64(v) if w == pb.LEN else [v]
+            return t
+
+        md = {"inputs": [], "outputs": []}
+        for f, _, v in pb.fields(resp):
+            if f == 4:  # ModelMetadataResponse.inputs
+                md["inputs"].append(tensor_meta(v))
+            elif f == 5:  # .outputs
+                md["outputs"].append(tensor_meta(v))
+        return md
+
+    # -- ModelInfer ------------------------------------------------------------
+    def infer(self, model: str, inputs, output_names) -> dict:
+        """inputs: [(name, datatype, shape, raw_bytes)] -> {name: (datatype, shape, raw)}."""
+        from drone_yolo_tpu.utils import pbwire as pb
+
+        req = bytearray(pb.string_field(1, model))  # ModelInferRequest.model_name
+        for name, datatype, shape, _ in inputs:
+            tensor = pb.string_field(1, name) + pb.string_field(2, datatype) + pb.packed_int64_field(3, list(shape))
+            req += pb.bytes_field(5, tensor)  # .inputs (InferInputTensor)
+        for name in output_names:
+            req += pb.bytes_field(6, pb.string_field(1, name))  # .outputs
+        for _, _, _, raw in inputs:
+            req += pb.bytes_field(7, raw)  # .raw_input_contents
+        resp = self._infer_call(bytes(req), timeout=self.timeout)
+
+        outs, raws = [], []
+        for f, w, v in pb.fields(resp):
+            if f == 5:  # ModelInferResponse.outputs (InferOutputTensor)
+                o = {"name": "", "datatype": "", "shape": []}
+                for f2, w2, v2 in pb.fields(v):
+                    if f2 == 1:
+                        o["name"] = v2.decode()
+                    elif f2 == 2:
+                        o["datatype"] = v2.decode()
+                    elif f2 == 3:
+                        o["shape"] += pb.unpack_int64(v2) if w2 == pb.LEN else [v2]
+                outs.append(o)
+            elif f == 6:  # .raw_output_contents
+                raws.append(v)
+        if len(raws) != len(outs):
+            raise ValueError(f"server returned {len(outs)} output tensors but {len(raws)} raw buffers")
+        return {o["name"]: (o["datatype"], o["shape"], raw) for o, raw in zip(outs, raws)}
+
+
 class TritonRemoteModel:
     """Callable remote model: ``outputs = model(*numpy_inputs)``.
 
@@ -61,13 +144,14 @@ class TritonRemoteModel:
             endpoint = splits.path.strip("/").split("/")[0]
             scheme = splits.scheme
             url = splits.netloc
-        if scheme in ("grpc", "grpcs"):
-            raise ValueError("grpc scheme needs the tritonclient package; use http:// (KServe v2 REST)")
-        if scheme not in ("", "http", "https"):
-            raise ValueError(f"unsupported scheme '{scheme}' (use http:// or https://)")
+        if scheme not in ("", "http", "https", "grpc", "grpcs"):
+            raise ValueError(f"unsupported scheme '{scheme}' (use http(s):// or grpc(s)://)")
         self.endpoint = endpoint
         self.url = url
         self.timeout = timeout
+        self._grpc = None
+        if scheme in ("grpc", "grpcs"):
+            self._grpc = _GrpcInference(url, secure=scheme == "grpcs", timeout=timeout)
         # preserve the caller's scheme: silently downgrading https:// to
         # cleartext would leak payloads/auth headers (ADVICE r2)
         self._base = f"{scheme or 'http'}://{url}/v2/models/{endpoint}"
@@ -93,6 +177,10 @@ class TritonRemoteModel:
             return dict(r.headers), r.read()
 
     def _get_config(self) -> dict:
+        if self._grpc is not None:  # gRPC: ModelMetadata carries the tensor signature
+            md = self._grpc.metadata(self.endpoint)
+            conv = lambda ts: [{"name": t["name"], "data_type": t["datatype"], "dims": t.get("shape", [])} for t in ts]  # noqa: E731
+            return {"input": conv(md.get("inputs", [])), "output": conv(md.get("outputs", [])), "parameters": {}}
         try:  # Triton's config endpoint: {"input": [{"name","data_type","dims"}..], "output": [..]}
             _, body = self._http("/config")
             return json.loads(body)
@@ -106,6 +194,17 @@ class TritonRemoteModel:
     # -- inference -------------------------------------------------------------
     def __call__(self, *inputs: np.ndarray) -> List[np.ndarray]:
         out_format = inputs[0].dtype
+        if self._grpc is not None:
+            gin = []
+            for i, x in enumerate(inputs):
+                x = np.ascontiguousarray(x, dtype=self.np_input_formats[i])
+                gin.append((self.input_names[i], self.input_formats[i].replace("TYPE_", ""), x.shape, x.tobytes()))
+            by_name = self._grpc.infer(self.endpoint, gin, self.output_names)
+            outs = []
+            for n in self.output_names:
+                datatype, shape, raw = by_name[n]
+                outs.append(np.frombuffer(raw, dtype=_np_dtype(datatype)).reshape(shape).astype(out_format))
+            return outs
         header_inputs, blobs = [], []
         for i, x in enumerate(inputs):
             x = np.ascontiguousarray(x, dtype=self.np_input_formats[i])

@@ -149,6 +149,59 @@ def test_triton_remote_model():
         srv.shutdown()
 
 
+def test_triton_remote_model_grpc():
+    """TritonRemoteModel speaks the KServe-v2 gRPC protocol (raw tensor
+    contents) against an in-process generic-handler server double."""
+    import pytest
+
+    grpc = pytest.importorskip("grpc")
+
+    from concurrent import futures
+
+    from drone_yolo_tpu.utils import pbwire as pb
+    from drone_yolo_tpu.utils.triton import TritonRemoteModel
+
+    def model_metadata(request, context):  # name=1; inputs=4/outputs=5 TensorMetadata
+        tin = pb.string_field(1, "images") + pb.string_field(2, "FP32") + pb.packed_int64_field(3, [-1, -1, -1, 3])
+        tout = pb.string_field(1, "output0") + pb.string_field(2, "FP32") + pb.packed_int64_field(3, [-1])
+        return pb.string_field(1, "yolo") + pb.bytes_field(4, tin) + pb.bytes_field(5, tout)
+
+    def model_infer(request, context):  # y = 2x echo with the request's shape
+        shape, raw = None, None
+        for f, w, v in pb.fields(request):
+            if f == 5:  # InferInputTensor
+                for f2, w2, v2 in pb.fields(v):
+                    if f2 == 3:
+                        shape = pb.unpack_int64(v2)
+            elif f == 7:
+                raw = v
+        y = (np.frombuffer(raw, np.float32).reshape(shape) * 2).astype(np.float32)
+        out = pb.string_field(1, "output0") + pb.string_field(2, "FP32") + pb.packed_int64_field(3, list(y.shape))
+        return pb.string_field(1, "yolo") + pb.bytes_field(5, out) + pb.bytes_field(6, y.tobytes())
+
+    ident = lambda b: b  # noqa: E731
+    handler = grpc.method_handlers_generic_handler(
+        "inference.GRPCInferenceService",
+        {
+            "ModelMetadata": grpc.unary_unary_rpc_method_handler(model_metadata, ident, ident),
+            "ModelInfer": grpc.unary_unary_rpc_method_handler(model_infer, ident, ident),
+        },
+    )
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=2))
+    server.add_generic_rpc_handlers((handler,))
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    try:
+        m = TritonRemoteModel(f"grpc://127.0.0.1:{port}/yolo")
+        assert m.endpoint == "yolo" and m.input_names == ["images"] and m.output_names == ["output0"]
+        assert m.np_input_formats == [np.float32] and m.metadata is None
+        x = np.arange(24, dtype=np.float32).reshape(2, 2, 2, 3)
+        (y,) = m(x)
+        np.testing.assert_allclose(y, x * 2)
+    finally:
+        server.stop(0)
+
+
 def test_rf100_benchmark_local_manifest(tmp_path):
     """RF100Benchmark offline analog: manifest parse -> fix_yaml -> per-dataset
     val with mAP50 accumulation into the eval log (reference benchmarks.py:203)."""
