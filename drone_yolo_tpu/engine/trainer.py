@@ -164,9 +164,16 @@ class BaseTrainer(CallbackMixin):
         if getattr(self.args, "spd_stem", False):
             applied = self.model.enable_spd_stem()
             LOGGER.info(f"spd_stem: {'enabled (exact space-to-depth stem reformulation)' if applied else 'not applicable to this stem, ignored'}")
+        self._padded_state = False
         if getattr(self.args, "lane_pad", False):
             n_pad = self.model.enable_lane_pad()
-            LOGGER.info(f"lane_pad: {n_pad} narrow convs zero-padded to full MXU lanes in-step (exact)")
+            if n_pad:
+                # padded-state masters: the pads live in the stored arrays, not
+                # the step (padded slots are training-invariant exact zeros —
+                # nn/model.py pad_variables). Checkpoints/resume stay canonical.
+                self.variables = self.model.pad_variables(self.variables, imgsz=int(self.args.imgsz))
+                self._padded_state = True
+            LOGGER.info(f"lane_pad: {n_pad} narrow convs zero-padded to full MXU lanes (padded-state masters, exact)")
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(self.args))
 
@@ -481,7 +488,7 @@ class BaseTrainer(CallbackMixin):
                 self.fitness = self.metrics.get("fitness", 0.0)
                 if self.best_fitness is None or self.fitness > self.best_fitness:
                     self.best_fitness = self.fitness
-                    self.best_vars = jax.device_get(self.state["ema"])
+                    self.best_vars = self._unpad_tree(jax.device_get(self.state["ema"]))
             self.run_callbacks("on_fit_epoch_end")
             if self.args.save and jax.process_index() == 0:
                 self.save_model()
@@ -493,7 +500,7 @@ class BaseTrainer(CallbackMixin):
         LOGGER.info(f"\n{self.epochs - self.start_epoch} epochs completed in {(time.time() - t0) / 3600:.3f} hours.")
         # host copy of the final EMA weights: the facade must never be left
         # holding buffers that the donated train step has consumed
-        self.final_vars = jax.device_get(self.state["ema"])
+        self.final_vars = self._unpad_tree(jax.device_get(self.state["ema"]))
         if self.best_vars is None:
             self.best_vars = self.final_vars
         if self.args.plots and jax.process_index() == 0:
@@ -508,9 +515,30 @@ class BaseTrainer(CallbackMixin):
         metrics = self.validator(model=self.model_facade, variables=ema_vars)
         return metrics if isinstance(metrics, dict) else getattr(self.validator.metrics, "results_dict", {})
 
+    def _unpad_tree(self, tree):
+        """Padded-state masters -> canonical (identity when lane_pad is off)."""
+        return self.model.unpad_variables(tree) if self._padded_state else tree
+
+    def _unpad_opt(self, opt):
+        if not self._padded_state:
+            return opt
+        if isinstance(opt, dict) and "m" in opt and "v" in opt:  # adam: moments + timestep
+            return {**opt, "m": self.model.unpad_variables(opt["m"]), "v": self.model.unpad_variables(opt["v"])}
+        return self.model.unpad_variables(opt)
+
+    def _pad_tree(self, tree):
+        return self.model.pad_variables(tree, imgsz=int(self.args.imgsz)) if self._padded_state else tree
+
+    def _pad_opt(self, opt):
+        if not self._padded_state:
+            return opt
+        if isinstance(opt, dict) and "m" in opt and "v" in opt:
+            return {**opt, "m": self._pad_tree(opt["m"]), "v": self._pad_tree(opt["v"])}
+        return self._pad_tree(opt)
+
     def save_model(self):
         """last/best checkpoints with EMA weights (reference trainer.py:514)."""
-        ema_host = jax.device_get(self.state["ema"])
+        ema_host = self._unpad_tree(jax.device_get(self.state["ema"]))
         meta = {
             "epoch": self.epoch,
             "best_fitness": float(self.best_fitness) if self.best_fitness is not None else 0.0,
@@ -524,8 +552,8 @@ class BaseTrainer(CallbackMixin):
         from drone_yolo_tpu.engine.checkpoint import flatten_tree
 
         resume_state = {
-            "params": jax.device_get(self.state["params"]),
-            "opt": jax.device_get(self.state["opt"]),
+            "params": self._unpad_tree(jax.device_get(self.state["params"])),
+            "opt": self._unpad_opt(jax.device_get(self.state["opt"])),
             "ema": ema_host,
             "step": np.asarray(self.state["step"]),
             "count": np.asarray(self.state["count"]),
@@ -545,12 +573,13 @@ class BaseTrainer(CallbackMixin):
             return
         data = np.load(path, allow_pickle=False)
         tree = unflatten_tree({k: data[k] for k in data.files})
+        params = self._pad_tree(tree["params"])
         self.state = place_state(
             {
-                "params": tree["params"],
-                "opt": tree["opt"],
-                "ema": tree["ema"],
-                "acc": jax.tree_util.tree_map(lambda x: np.zeros_like(x), tree["params"]),
+                "params": params,
+                "opt": self._pad_opt(tree["opt"]),
+                "ema": self._pad_tree(tree["ema"]),
+                "acc": jax.tree_util.tree_map(lambda x: np.zeros_like(x), params),
                 # count restored (when present) so the per-micro-step RNG
                 # stream continues exactly across resume under accumulation
                 "count": jnp.asarray(tree["count"]) if "count" in tree else jnp.zeros((), jnp.int32),

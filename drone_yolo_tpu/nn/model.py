@@ -293,6 +293,39 @@ class BaseModel:
                 mod.trim_to = [padded.get(j) for j in srcs]
         return n
 
+    def pad_variables(self, variables, imgsz: int = 256):
+        """Bake every lane pad into the stored masters (padded-state mode).
+
+        enable_lane_pad keeps canonical masters and builds the zero-padded
+        kernels/BN params INSIDE the traced step; that in-step transform costs
+        per-step pad/scatter kernels and grad slices (xprof: most of the
+        150.7 -> 135.3 ms/step gap to the width-bumped probe). This returns a
+        tree where the pads are already in the arrays, so the step touches no
+        canonical<->padded plumbing at all.
+
+        Correctness: a padded-state train step is EXACTLY the in-step-padded
+        step with the pad/slice ops hoisted out, because the padded slots are
+        invariant under training — their activations are exact zeros (BN
+        gamma/beta pads are zero), every consumer contracts them against
+        exact-zero kernel rows, so their gradients are exact floating-point
+        zeros, and zero grads + zero momentum + multiplicative weight decay/
+        EMA keep the slots at exactly zero forever (asserted in
+        tests/test_lane_pad.py). Checkpoints stay canonical via
+        unpad_variables. The grouped dense_pad_in expansion stays in-step —
+        its off-block slots WOULD receive gradients.
+
+        Call after enable_lane_pad; idempotent. One abstract forward records
+        each pad-in consumer's padded input width first."""
+        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, self.ch), jnp.float32)
+        shapes = jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        jax.eval_shape(lambda v, xx: self.apply(v, xx, train=True), shapes, x)
+        return {str(spec.i): spec.module.pad_vars(variables.get(str(spec.i), {})) for spec in self.layers}
+
+    def unpad_variables(self, variables):
+        """Padded-state masters -> canonical masters (exact slices; the inverse
+        of pad_variables, used for checkpoint save / export)."""
+        return {str(spec.i): spec.module.unpad_vars(variables.get(str(spec.i), {})) for spec in self.layers}
+
     def fuse(self, variables):
         """Fold BN into convs and collapse RepVGG branches (pure weight transform).
 

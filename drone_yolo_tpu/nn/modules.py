@@ -118,17 +118,30 @@ class Module:
                 v[name] = child.init(_child_key(key, name))
         return v
 
-    def fuse_vars(self, v):
-        """Default fusion: recurse into children. Leaves override."""
+    def _map_child_vars(self, v, method: str):
         out = dict(v)
         for name, child in self.children().items():
             if name not in v:
                 continue
             if isinstance(child, list):
-                out[name] = {str(i): m.fuse_vars(v[name][str(i)]) for i, m in enumerate(child)}
+                out[name] = {str(i): getattr(m, method)(v[name][str(i)]) for i, m in enumerate(child)}
             else:
-                out[name] = child.fuse_vars(v[name])
+                out[name] = getattr(child, method)(v[name])
         return out
+
+    def fuse_vars(self, v):
+        """Default fusion: recurse into children. Leaves override."""
+        return self._map_child_vars(v, "fuse_vars")
+
+    def pad_vars(self, v):
+        """Masters -> lane-padded masters (padded-state mode; see
+        BaseModel.pad_variables). Default: recurse. Leaves override."""
+        return self._map_child_vars(v, "pad_vars")
+
+    def unpad_vars(self, v):
+        """Lane-padded masters -> canonical masters (checkpoint save under
+        padded-state mode). Exact inverse of pad_vars. Default: recurse."""
+        return self._map_child_vars(v, "unpad_vars")
 
     def __call__(self, v, x, ctx: Ctx):
         raise NotImplementedError
@@ -282,6 +295,59 @@ def _bn_pad(bn, n):
     return {k: jnp.pad(v, (0, d)) for k, v in bn.items()}
 
 
+def _pad_blocks(a, axis, c, pc, nb):
+    """Zero-pad each of nb contiguous channel blocks (width c -> pc) along axis."""
+    axis = axis % a.ndim
+    shape = a.shape
+    a = a.reshape(*shape[:axis], nb, c, *shape[axis + 1 :])
+    pads = [(0, 0)] * a.ndim
+    pads[axis + 1] = (0, pc - c)
+    a = jnp.pad(a, pads)
+    return a.reshape(*shape[:axis], nb * pc, *shape[axis + 1 :])
+
+
+def _unpad_blocks(a, axis, c, pc, nb):
+    """Exact inverse of _pad_blocks: strip each block back to width c."""
+    axis = axis % a.ndim
+    shape = a.shape
+    a = a.reshape(*shape[:axis], nb, pc, *shape[axis + 1 :])
+    idx = tuple([slice(None)] * (axis + 1) + [slice(0, c)])
+    a = a[idx]
+    return a.reshape(*shape[:axis], nb * c, *shape[axis + 1 :])
+
+
+def _pad_row_map(k, in_map):
+    """Zero-pad kernel C_in rows per an irregular (canonical, padded) block map."""
+    blocks, off = [], 0
+    for c_blk, pc_blk in in_map:
+        blk = k[:, :, off : off + c_blk, :]
+        if pc_blk > c_blk:
+            blk = jnp.pad(blk, ((0, 0), (0, 0), (0, pc_blk - c_blk), (0, 0)))
+        blocks.append(blk)
+        off += c_blk
+    return jnp.concatenate(blocks, axis=2)
+
+
+def _unpad_row_map(k, in_map):
+    """Exact inverse of _pad_row_map."""
+    blocks, off = [], 0
+    for c_blk, pc_blk in in_map:
+        blocks.append(k[:, :, off : off + c_blk, :])
+        off += pc_blk
+    return jnp.concatenate(blocks, axis=2)
+
+
+def _dense_group_expand(k, cin_padded, c1, c2, g):
+    """Grouped kernel (k,k,c1/g,c2) -> dense block-diagonal (k,k,cin_padded,c2)
+    via one einsum against a constant scatter mask (dense_pad_in)."""
+    cin_g, co_g = c1 // g, c2 // g
+    e = np.zeros((cin_padded, cin_g, c2), np.float32)
+    for gi in range(g):
+        for j in range(cin_g):
+            e[gi * cin_g + j, j, gi * co_g : (gi + 1) * co_g] = 1.0
+    return jnp.einsum("hwjc,ijc->hwic", k, jnp.asarray(e, k.dtype))
+
+
 # ---------------------------------------------------------------------------
 # Conv family
 # ---------------------------------------------------------------------------
@@ -305,13 +371,26 @@ class Conv2dRaw(Module):
         k = v["kernel"]
         if self.pad_in_ok and x.shape[-1] > self.c1:
             if self.g == 1:
-                k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
+                self._pad_in_seen = x.shape[-1]
+                if k.shape[2] != x.shape[-1]:  # padded-state masters skip the in-step pad
+                    k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
             else:
                 x = x[..., : self.c1]
         y = conv2d(x.astype(ctx.dtype), k, self.s, self.p, self.d, self.g)
         if "bias" in v:
             y = y + v["bias"]
         return y.astype(ctx.dtype)
+
+    def pad_vars(self, v):
+        seen = getattr(self, "_pad_in_seen", 0)
+        if self.pad_in_ok and self.g == 1 and seen > v["kernel"].shape[2]:
+            return dict(v, kernel=jnp.pad(v["kernel"], ((0, 0), (0, 0), (0, seen - v["kernel"].shape[2]), (0, 0))))
+        return v
+
+    def unpad_vars(self, v):
+        if self.pad_in_ok and self.g == 1 and v["kernel"].shape[2] > self.c1:
+            return dict(v, kernel=v["kernel"][:, :, : self.c1, :])
+        return v
 
 
 def _spd_rearrange(x, groups: int = 1):
@@ -424,41 +503,37 @@ class Conv(Module):
         x = x.astype(ctx.dtype)
         k = v["conv"]["kernel"]
         groups = self.g
+        # every pad below skips when the master already carries it
+        # (padded-state mode, BaseModel.pad_variables)
         if self.pad_in_map and x.shape[-1] > self.c1:
-            blocks, off = [], 0
-            for c_blk, pc_blk in self.pad_in_map:
-                blk = k[:, :, off : off + c_blk, :]
-                if pc_blk > c_blk:
-                    blk = jnp.pad(blk, ((0, 0), (0, 0), (0, pc_blk - c_blk), (0, 0)))
-                blocks.append(blk)
-                off += c_blk
-            k = jnp.concatenate(blocks, axis=2)
+            if k.shape[2] != sum(pc for _, pc in self.pad_in_map):
+                k = _pad_row_map(k, self.pad_in_map)
         elif self.pad_in_spec:
             c, pc, nb = self.pad_in_spec
-            k = k.reshape(*k.shape[:2], nb, c, k.shape[-1])
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pc - c), (0, 0)))
-            k = k.reshape(*k.shape[:2], nb * pc, k.shape[-1])
+            if k.shape[2] != nb * pc:
+                k = _pad_blocks(k, 2, c, pc, nb)
         elif self.pad_in_ok and x.shape[-1] > self.c1:
             if self.g == 1:
-                k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
+                self._pad_in_seen = x.shape[-1]
+                if k.shape[2] != x.shape[-1]:
+                    k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0)))
             elif self.dense_pad_in:
                 # one einsum against a constant block-diagonal scatter mask
-                # (a DUS-per-group loop compiles slowly and serializes)
-                cin_g, co_g = self.c1 // self.g, self.c2 // self.g
-                e = np.zeros((x.shape[-1], cin_g, self.c2), k.dtype)
-                for gi in range(self.g):
-                    for j in range(cin_g):
-                        e[gi * cin_g + j, j, gi * co_g : (gi + 1) * co_g] = 1.0
-                k = jnp.einsum("hwjc,ijc->hwic", k, jnp.asarray(e))
+                # (a DUS-per-group loop compiles slowly and serializes); the
+                # grouped master stays canonical even in padded-state mode —
+                # off-block slots of a dense master would RECEIVE gradients
+                k = _dense_group_expand(k, x.shape[-1], self.c1, self.c2, self.g)
                 groups = 1
             else:
                 x = x[..., : self.c1]
         spec = self._out_spec()
+        bn_in_step = False
         if spec:
             c, pc, nb = spec
-            k = k.reshape(*k.shape[:-1], nb, c)
-            k = jnp.pad(k, ((0, 0),) * (k.ndim - 1) + ((0, pc - c),))
-            k = k.reshape(*k.shape[:-2], nb * pc)
+            if k.shape[-1] != nb * pc:
+                k = _pad_blocks(k, -1, c, pc, nb)
+            bn_params = v["bn"]["scale"] if "bn" in v else v["conv"].get("bias")
+            bn_in_step = bn_params is not None and bn_params.shape[0] != nb * pc
         if self.spd:
             assert spec is None and not self.pad_in_ok and not self.pad_in_spec, (
                 "spd and lane_pad are mutually exclusive"
@@ -467,25 +542,78 @@ class Conv(Module):
         else:
             y = conv2d(x, k, self.s, self.p, self.d, groups)
 
-        def padp(p):  # per-channel param -> padded blocks
-            return jnp.pad(p.reshape(nb, c), ((0, 0), (0, pc - c))).reshape(-1)
-
         if "bn" in v:
-            bn = {kk: padp(vv) for kk, vv in v["bn"].items()} if spec else v["bn"]
+            bn = {kk: _pad_blocks(vv, 0, c, pc, nb) for kk, vv in v["bn"].items()} if bn_in_step else v["bn"]
             y = _bn_apply(bn, y, ctx, f"{self.path}.bn")
-            if spec and ctx.train:
+            if bn_in_step and ctx.train:
                 # tapped batch stats back to canonical width for merge_bn_updates
+                # (padded-state masters keep padded running stats: no strip)
                 bm, bv = ctx.updates[f"{self.path}.bn"]
-                strip = lambda t: t.reshape(nb, pc)[:, :c].reshape(-1)  # noqa: E731
-                ctx.updates[f"{self.path}.bn"] = (strip(bm), strip(bv))
+                ctx.updates[f"{self.path}.bn"] = (_unpad_blocks(bm, 0, c, pc, nb), _unpad_blocks(bv, 0, c, pc, nb))
         else:
-            b = padp(v["conv"]["bias"]) if spec else v["conv"]["bias"]
+            b = _pad_blocks(v["conv"]["bias"], 0, c, pc, nb) if bn_in_step else v["conv"]["bias"]
             y = (y + b).astype(ctx.dtype)
         if self.act is True:
             return silu(y)
         if self.act == "relu":
             return jax.nn.relu(y)
         return y
+
+    def pad_vars(self, v):
+        k = v["conv"]["kernel"]
+        seen = getattr(self, "_pad_in_seen", 0)
+        if self.pad_in_map:
+            if k.shape[2] != sum(pc for _, pc in self.pad_in_map):
+                k = _pad_row_map(k, self.pad_in_map)
+        elif self.pad_in_spec:
+            c, pc, nb = self.pad_in_spec
+            if k.shape[2] != nb * pc:
+                k = _pad_blocks(k, 2, c, pc, nb)
+        elif self.pad_in_ok and self.g == 1 and seen > k.shape[2]:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, seen - k.shape[2]), (0, 0)))
+        out = {"conv": dict(v["conv"], kernel=k)}
+        spec = self._out_spec()
+        if spec and not self.spd:
+            c, pc, nb = spec
+            if out["conv"]["kernel"].shape[-1] != nb * pc:
+                out["conv"]["kernel"] = _pad_blocks(out["conv"]["kernel"], -1, c, pc, nb)
+            if "bias" in v["conv"] and v["conv"]["bias"].shape[0] != nb * pc:
+                out["conv"]["bias"] = _pad_blocks(v["conv"]["bias"], 0, c, pc, nb)
+            if "bn" in v and v["bn"]["scale"].shape[0] != nb * pc:
+                out["bn"] = {kk: _pad_blocks(vv, 0, c, pc, nb) for kk, vv in v["bn"].items()}
+                return out
+        if "bn" in v:
+            out["bn"] = v["bn"]
+        return out
+
+    def unpad_vars(self, v):
+        k = v["conv"]["kernel"]
+        spec = self._out_spec()
+        bn = v.get("bn")
+        bias = v["conv"].get("bias")
+        if spec and not self.spd:
+            c, pc, nb = spec
+            if k.shape[-1] == nb * pc:
+                k = _unpad_blocks(k, -1, c, pc, nb)
+            if bias is not None and bias.shape[0] == nb * pc:
+                bias = _unpad_blocks(bias, 0, c, pc, nb)
+            if bn is not None and bn["scale"].shape[0] == nb * pc:
+                bn = {kk: _unpad_blocks(vv, 0, c, pc, nb) for kk, vv in bn.items()}
+        if self.pad_in_map:
+            if k.shape[2] == sum(pc for _, pc in self.pad_in_map):
+                k = _unpad_row_map(k, self.pad_in_map)
+        elif self.pad_in_spec:
+            c, pc, nb = self.pad_in_spec
+            if k.shape[2] == nb * pc:
+                k = _unpad_blocks(k, 2, c, pc, nb)
+        elif self.pad_in_ok and self.g == 1 and k.shape[2] > self.c1:
+            k = k[:, :, : self.c1, :]
+        out = {"conv": dict(v["conv"], kernel=k)}
+        if bias is not None:
+            out["conv"]["bias"] = bias
+        if bn is not None:
+            out["bn"] = bn
+        return out
 
     def fuse_vars(self, v):
         if "bn" not in v:
@@ -1486,39 +1614,95 @@ class RepVGGBlock(Module):
         pad_in = x.shape[-1] - self.c1 if (self.pad_in_ok and x.shape[-1] > self.c1) else 0
         if pad_in and self.g != 1:
             x, pad_in = x[..., : self.c1], 0
+        if pad_in and self.g == 1:
+            self._pad_in_seen = x.shape[-1]
 
-        def padk(k):
-            if pad_in:
+        def padk(k):  # skips pads the master already carries (padded-state mode)
+            if pad_in and k.shape[2] != x.shape[-1]:
                 k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_in), (0, 0)))
-            if pad_n > 0:
+            if pad_n > 0 and k.shape[-1] != self.pad_out:
                 k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_n)))
             return k
 
         if "kernel" in v:  # fused deploy form
-            b = jnp.pad(v["bias"], (0, pad_n)) if pad_n > 0 else v["bias"]
+            b = jnp.pad(v["bias"], (0, pad_n)) if pad_n > 0 and v["bias"].shape[0] != self.pad_out else v["bias"]
             y = conv2d(x, padk(v["kernel"]), self.s, 1, 1, self.g) + b
             return silu(y.astype(ctx.dtype))
 
+        bn_in_step = pad_n > 0 and v["dense"]["bn"]["scale"].shape[0] != self.pad_out
+
         def bnp(bn):
-            return _bn_pad(bn, self.pad_out) if pad_n > 0 else bn
+            return _bn_pad(bn, self.pad_out) if bn_in_step else bn
 
         y3 = _bn_apply(bnp(v["dense"]["bn"]), conv2d(x, padk(v["dense"]["conv"]["kernel"]), self.s, 1, 1, self.g), ctx, f"{self.path}.dense.bn")
         y1 = _bn_apply(bnp(v["one"]["bn"]), conv2d(x, padk(v["one"]["conv"]["kernel"]), self.s, 0, 1, self.g), ctx, f"{self.path}.one.bn")
         y = y3 + y1
+        idbn_in_step = False
         if self.has_identity:
             assert pad_n <= 0 or x.shape[-1] == self.pad_out, (
                 "lane-padded identity RepVGG needs an equally padded input"
             )
-            idbn = _bn_pad(v["idbn"], x.shape[-1]) if pad_in else v["idbn"]
+            idbn_in_step = bool(pad_in) and v["idbn"]["scale"].shape[0] != x.shape[-1]
+            idbn = _bn_pad(v["idbn"], x.shape[-1]) if idbn_in_step else v["idbn"]
             y = y + _bn_apply(idbn, x, ctx, f"{self.path}.idbn")
-        if ctx.train:  # tapped batch stats back to canonical widths
-            subs = [("dense.bn", self.c2), ("one.bn", self.c2)] if pad_n > 0 else []
-            if self.has_identity and pad_in:
+        if ctx.train:  # tapped batch stats back to canonical widths (in-step pads only)
+            subs = [("dense.bn", self.c2), ("one.bn", self.c2)] if bn_in_step else []
+            if idbn_in_step:
                 subs.append(("idbn", self.c1))
             for sub, cc in subs:
                 bm, bv = ctx.updates[f"{self.path}.{sub}"]
                 ctx.updates[f"{self.path}.{sub}"] = (bm[:cc], bv[:cc])
         return silu(y)
+
+    def pad_vars(self, v):
+        pad_n = max(self.pad_out - self.c2, 0) if self.pad_out else 0
+        seen = getattr(self, "_pad_in_seen", 0)
+        pad_in = max(seen - self.c1, 0) if (self.pad_in_ok and self.g == 1) else 0
+        if not (pad_n or pad_in):
+            return v
+
+        def padk(k):
+            if pad_in and k.shape[2] == self.c1 // self.g:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_in), (0, 0)))
+            if pad_n and k.shape[-1] == self.c2:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_n)))
+            return k
+
+        if "kernel" in v:  # fused deploy form
+            b = jnp.pad(v["bias"], (0, pad_n)) if pad_n and v["bias"].shape[0] == self.c2 else v["bias"]
+            return dict(v, kernel=padk(v["kernel"]), bias=b)
+
+        def branch(bv):
+            bn = _bn_pad(bv["bn"], self.pad_out) if pad_n and bv["bn"]["scale"].shape[0] == self.c2 else bv["bn"]
+            return {"conv": {"kernel": padk(bv["conv"]["kernel"])}, "bn": bn}
+
+        out = {"dense": branch(v["dense"]), "one": branch(v["one"])}
+        if "idbn" in v:
+            w = self.c1 + pad_in
+            out["idbn"] = (
+                {k2: jnp.pad(v2, (0, w - v2.shape[0])) for k2, v2 in v["idbn"].items()}
+                if pad_in and v["idbn"]["scale"].shape[0] == self.c1
+                else v["idbn"]
+            )
+        return out
+
+    def unpad_vars(self, v):
+        def cutk(k):
+            if k.shape[2] > self.c1 // self.g:
+                k = k[:, :, : self.c1 // self.g, :]
+            if k.shape[-1] > self.c2:
+                k = k[..., : self.c2]
+            return k
+
+        if "kernel" in v:
+            return dict(v, kernel=cutk(v["kernel"]), bias=v["bias"][: self.c2])
+        out = {
+            name: {"conv": {"kernel": cutk(v[name]["conv"]["kernel"])}, "bn": {k2: v2[: self.c2] for k2, v2 in v[name]["bn"].items()}}
+            for name in ("dense", "one")
+        }
+        if "idbn" in v:
+            out["idbn"] = {k2: v2[: self.c1] for k2, v2 in v["idbn"].items()}
+        return out
 
     def fuse_vars(self, v):
         if "kernel" in v:

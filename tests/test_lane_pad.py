@@ -85,6 +85,95 @@ def test_lane_pad_gradients_exact():
     jax.tree_util.tree_map(close, grads[0], grads[1])
 
 
+@pytest.mark.smoke
+def test_padded_state_masters_exact():
+    """pad_variables bakes the lane pads into the stored masters: the step
+    computes the same function (same loss/grads as the in-step-padded form),
+    padded slots receive exact-zero gradients, and unpad_variables is an
+    exact inverse."""
+    from drone_yolo_tpu.utils.loss import v8DetectionLoss
+
+    x = jnp.asarray(np.random.default_rng(2).random((2, 64, 64, 3), np.float32))
+    batch = {
+        "img": x,
+        "cls": jnp.zeros((2, 8), jnp.float32),
+        "bboxes": jnp.asarray(np.tile(np.array([8, 8, 40, 40], np.float32), (2, 8, 1))),
+        "mask": jnp.ones((2, 8), jnp.float32),
+    }
+    model, v = _build("yolov8s-p2-repvgg-sf.yaml", pad=True)
+    criterion = v8DetectionLoss(model)
+
+    def loss_fn(p):
+        ctx = M.Ctx(train=True, dtype=jnp.float32, targets=batch, rng=jax.random.PRNGKey(0))
+        out = model.apply(p, batch["img"], ctx=ctx)
+        loss, _ = criterion(out, batch)
+        return loss
+
+    vp = model.pad_variables(v, imgsz=64)
+    # round trip is exact
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), model.unpad_variables(vp), v
+    )
+    # idempotent
+    vp2 = model.pad_variables(vp, imgsz=64)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b), vp2, vp)
+
+    l0, g0 = jax.value_and_grad(loss_fn)(v)
+    l1, g1 = jax.value_and_grad(loss_fn)(vp)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    # canonical projection of padded-state grads == in-step grads (same graph
+    # modulo hoisted pads; tiny reassociation noise)
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * scale)
+
+    jax.tree_util.tree_map(close, g0, model.unpad_variables(g1))
+    # padded slots get EXACT-zero grads: zeroing them via unpad->pad changes nothing
+    g1_slots_zeroed = model.pad_variables(model.unpad_variables(g1), imgsz=64)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b), g1, g1_slots_zeroed)
+
+
+@pytest.mark.smoke
+def test_padded_state_slots_invariant_under_sgd():
+    """Padded slots stay exactly zero across optimizer steps (the invariant
+    that makes padded-state masters a pure schedule change)."""
+    from drone_yolo_tpu.utils.loss import v8DetectionLoss
+    from drone_yolo_tpu.utils.optimizer import init_momentum, label_tree, sgd_step
+
+    x = jnp.asarray(np.random.default_rng(3).random((2, 64, 64, 3), np.float32))
+    batch = {
+        "img": x,
+        "cls": jnp.zeros((2, 8), jnp.float32),
+        "bboxes": jnp.asarray(np.tile(np.array([8, 8, 40, 40], np.float32), (2, 8, 1))),
+        "mask": jnp.ones((2, 8), jnp.float32),
+    }
+    model, v = _build("yolov8s-p2-repvgg-sf.yaml", pad=True)
+    criterion = v8DetectionLoss(model)
+    params = model.pad_variables(v, imgsz=64)
+    labels = label_tree(params)
+    mom = init_momentum(params)
+
+    def loss_fn(p):
+        ctx = M.Ctx(train=True, dtype=jnp.float32, targets=batch, rng=jax.random.PRNGKey(0))
+        out = model.apply(p, batch["img"], ctx=ctx)
+        loss, _ = criterion(out, batch)
+        return loss
+
+    @jax.jit
+    def step(p, m):
+        g = jax.grad(loss_fn)(p)
+        return sgd_step(p, g, m, labels, 0.01, 0.01, 0.937, 0.0005)
+
+    for _ in range(3):
+        params, mom = step(params, mom)
+    # zeroing the padded slots changes nothing -> they are still exact zeros
+    rezeroed = model.pad_variables(model.unpad_variables(params), imgsz=64)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b), params, rezeroed)
+    mom_rezeroed = model.pad_variables(model.unpad_variables(mom), imgsz=64)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b), mom, mom_rezeroed)
+
+
 def test_lane_pad_trainer_loss_matches(tmp_path):
     """2-epoch trainer run: lane_pad=True loss trajectory matches lane_pad=False."""
     import csv

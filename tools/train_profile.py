@@ -56,7 +56,26 @@ def main():
             inner_target=int(os.environ["PROF_LANEPAD_INNER"]) if os.environ.get("PROF_LANEPAD_INNER") else None,
         )
         print(f"lane_pad: {n} modules padded")
+        if os.environ.get("PROF_LANEPAD_STATE"):
+            variables = model.pad_variables(variables, imgsz=imgsz)
+            print("lane_pad: padded-state masters (pads hoisted out of the step)")
+    int8w = bool(os.environ.get("PROF_INT8W"))  # weight-only int8 train-forward row (VERDICT r3 #5)
     criterion = v8DetectionLoss(model)
+
+    def ste_int8(p):
+        """Per-output-channel int8 quant-dequant of conv kernels with a
+        straight-through estimator — the weight-only-int8 train forward:
+        convs read (an in-graph dequant of) int8 weights; grads flow to the
+        fp32 masters unchanged. Speed probe only (optimizer untouched)."""
+
+        def q(leaf):
+            if leaf.ndim == 4 and leaf.shape[0] <= 7 and leaf.shape[1] <= 7:
+                scale = jnp.maximum(jnp.max(jnp.abs(leaf), axis=(0, 1, 2)), 1e-12) / 127.0
+                wi = jnp.clip(jnp.round(leaf / scale), -127, 127).astype(jnp.int8)
+                return leaf + jax.lax.stop_gradient(wi.astype(leaf.dtype) * scale - leaf)
+            return leaf
+
+        return jax.tree_util.tree_map(q, p)
 
     for batch in batches:
         rng = np.random.default_rng(0)
@@ -71,7 +90,7 @@ def main():
         def step(params, dev_batch):
             def loss_fn(p):
                 ctx = M.Ctx(train=True, dtype=jnp.bfloat16, targets=dev_batch, rng=jax.random.PRNGKey(0))
-                out = model.apply(p, dev_batch["img"], ctx=ctx)
+                out = model.apply(ste_int8(p) if int8w else p, dev_batch["img"], ctx=ctx)
                 loss, items = criterion(out, dev_batch)
                 return loss, items
 
@@ -104,7 +123,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "metric": f"train_step_{model_name.split('.')[0]}{'_spd' if spd else ''}_{imgsz}px_b{batch}",
+                        "metric": f"train_step_{model_name.split('.')[0]}{'_spd' if spd else ''}{'_int8w' if int8w else ''}_{imgsz}px_b{batch}",
                         "img_per_s": round(imgs_per_s, 1),
                         "step_ms": round(dt / iters * 1e3, 1),
                         "hlo_tflops_per_s": round(tflops, 1),

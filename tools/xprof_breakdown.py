@@ -38,6 +38,9 @@ def build_step(model_name: str, imgsz: int, nc: int):
         print("spd_stride2:", model.enable_spd_stride2())
     if os.environ.get("PROF_LANEPAD"):
         print("lane_pad:", model.enable_lane_pad())
+        if os.environ.get("PROF_LANEPAD_STATE"):
+            variables = model.pad_variables(variables, imgsz=imgsz)
+            print("lane_pad: padded-state masters")
     criterion = v8DetectionLoss(model)
 
     @jax.jit
