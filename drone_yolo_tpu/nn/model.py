@@ -236,6 +236,22 @@ class BaseModel:
                 mod.cv2.pad_out = target
                 padded[spec.i] = mod.cv2.c2
                 n += 1
+            elif type(mod) is M.C2f and inner_target and mod.c < inner_target and mod.cv2.c2 >= target:
+                # internals-only: the narrow bottleneck chunks carry the
+                # dim-split wgrad problem even when the C2f OUTPUT is already
+                # lane-aligned (e.g. target=64 leaves the 64-wide P2 C2f
+                # unqualified while its 32-wide internal chunks still split).
+                # cv2 absorbs the padded concat via pad_in_spec and produces
+                # the CANONICAL width — no downstream Concat bookkeeping.
+                inner = inner_target
+                mod.cv1.pad_out_spec = (mod.c, inner, 2)
+                mod.cv2.pad_in_spec = (mod.c, inner, 2 + len(mod.m))
+                for b in mod.m:
+                    b.cv1.pad_in_ok = True
+                    b.cv1.pad_out = inner
+                    b.cv2.pad_in_ok = True
+                    b.cv2.pad_out = inner
+                n += 1
         # NOT padded, by measurement: the Detect cv2/cv3 towers (64-80ch convs,
         # the P2 tower at 160^2). Padding all levels ran 155.3 ms/step, the P2
         # level alone 154.8, no head padding 150.7 (flagship b32) — the padded

@@ -90,7 +90,16 @@ def collect(trace_dir: str):
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
+    # ev.name is the full HLO text "%op = type fusion(%operand1, ...)"; match
+    # ONLY the lhs op name + the fusion kind, NOT operand names — "%bitcast.39"
+    # as an *operand* must not classify its consumer as layout/copy (this bug
+    # inflated the r3 'layout/copy' share by counting every fusion that merely
+    # CONSUMES a relaid-out operand).
+    n = name.split(" = ")[0].lower()
+    if "%" in name and " = " in name:
+        rhs = name.split(" = ", 1)[1]
+        kind = rhs.split("(", 1)[0]  # "bf16[...] fusion" / "... copy" etc.
+        n = n + " " + kind.split("]")[-1].lower()
     if "convolution" in n:  # NOT bare "conv": convert_reduce_fusion is BN stats
         return "conv (fwd/bwd)"
     if "convert_reduce" in n or "reduce_fusion" in n:
