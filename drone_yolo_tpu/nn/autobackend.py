@@ -29,7 +29,7 @@ class AutoBackend:
         self.half = half
         p = str(weights)
         self.meta: dict = {}
-        if p.startswith(("http://", "grpc://", "triton://")):
+        if p.startswith(("http://", "https://", "grpc://", "grpcs://", "triton://")):
             self.kind = "triton"
             self._init_triton(p)
         elif p.endswith(".npz"):

@@ -19,6 +19,7 @@ VARINT, I64, LEN, I32 = 0, 1, 2, 5
 
 
 def encode_varint(v: int) -> bytes:
+    """Encode a non-negative int as a protobuf base-128 varint."""
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -31,29 +32,40 @@ def encode_varint(v: int) -> bytes:
 
 
 def decode_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    """Decode a varint at `pos`; returns (value, next_pos). Raises ValueError
+    on truncated or over-long (>10 byte / >64 bit) input."""
     result = shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated message: varint runs past end of buffer")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
             return result, pos
         shift += 7
+        if shift > 63:
+            raise ValueError("malformed message: varint exceeds 64 bits")
 
 
 def key(field: int, wire: int) -> bytes:
+    """Encode a field key varint: `field_number << 3 | wire_type`."""
     return encode_varint(field << 3 | wire)
 
 
 def bytes_field(field: int, data: bytes) -> bytes:
+    """Encode a length-delimited (LEN) field: key + length varint + payload."""
     return key(field, LEN) + encode_varint(len(data)) + data
 
 
 def string_field(field: int, s: str) -> bytes:
+    """Encode a UTF-8 string field; empty strings encode to nothing (proto3 default)."""
     return bytes_field(field, s.encode()) if s else b""
 
 
 def packed_int64_field(field: int, values) -> bytes:
+    """Encode a packed repeated int64 field (two's-complement varints)."""
     payload = b"".join(encode_varint(v & 0xFFFFFFFFFFFFFFFF) for v in values)
     return bytes_field(field, payload) if values else b""
 
@@ -69,12 +81,18 @@ def fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
             v, pos = decode_varint(buf, pos)
         elif wire == LEN:
             ln, pos = decode_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError(f"truncated message: LEN field {field} wants {ln} bytes, {n - pos} remain")
             v = buf[pos : pos + ln]
             pos += ln
         elif wire == I64:
+            if pos + 8 > n:
+                raise ValueError(f"truncated message: I64 field {field} past end of buffer")
             v = buf[pos : pos + 8]
             pos += 8
         elif wire == I32:
+            if pos + 4 > n:
+                raise ValueError(f"truncated message: I32 field {field} past end of buffer")
             v = buf[pos : pos + 4]
             pos += 4
         else:  # wire 3/4 (groups) are not used by proto3

@@ -20,10 +20,11 @@ Protocol notes (REST)
 Protocol notes (gRPC, scheme ``grpc://`` / ``grpcs://``)
 --------------------------------------------------------
 * service ``inference.GRPCInferenceService``: ``ModelMetadata`` for the tensor
-  signature, ``ModelInfer`` with ``raw_input_contents`` /
-  ``raw_output_contents`` (little-endian tensor bytes, the same layout the
-  REST binary extension uses). The Triton-only model-config extension is not
-  queried over gRPC, so ``self.metadata`` is None on this transport.
+  signature, ``ModelConfig`` (best-effort, Triton extension) for
+  ``parameters.metadata`` (class names/task/imgsz), ``ModelInfer`` with
+  ``raw_input_contents`` / ``raw_output_contents`` (little-endian tensor
+  bytes, the same layout the REST binary extension uses). Servers that answer
+  with typed ``InferTensorContents`` instead of raw buffers are decoded too.
 """
 
 from __future__ import annotations
@@ -56,6 +57,41 @@ def _np_dtype(name: str):
     return _DTYPES[name.replace("TYPE_", "")]
 
 
+# InferTensorContents field number per datatype (KServe-v2 grpc proto): which
+# typed repeated field a non-raw server puts this datatype's values in.
+_CONTENTS_FIELD = {
+    "BOOL": 1, "INT8": 2, "INT16": 2, "INT32": 2, "INT64": 3,
+    "UINT8": 4, "UINT16": 4, "UINT32": 4, "UINT64": 5, "FP32": 6, "FP64": 7,
+}  # fmt: skip
+
+
+def _decode_contents(datatype: str, buf: bytes) -> bytes:
+    """Decode an InferTensorContents submessage into raw little-endian tensor
+    bytes of `datatype` (the same layout raw_output_contents would carry).
+    Fallback path for KServe servers that return typed contents instead of raw
+    buffers; FP16/BYTES have no typed field and must use raw contents."""
+    from drone_yolo_tpu.utils import pbwire as pb
+
+    want = _CONTENTS_FIELD.get(datatype.replace("TYPE_", ""))
+    if want is None:
+        raise ValueError(f"datatype {datatype} has no InferTensorContents field; server must use raw_output_contents")
+    np_dt = _np_dtype(datatype)
+    fixed = datatype.replace("TYPE_", "") in ("FP32", "FP64")
+    vals, raw = [], b""
+    for f, w, v in pb.fields(buf):
+        if f != want:
+            continue
+        if fixed:  # packed fixed32/64 LEN chunks are already raw LE bytes
+            raw += v if w == pb.LEN else v
+        elif w == pb.LEN:  # packed varints
+            vals += pb.unpack_int64(v)
+        else:  # unpacked single varint
+            vals.append(v - (1 << 64) if v >= 1 << 63 else v)
+    if fixed:
+        return np.frombuffer(raw, dtype="<f4" if np_dt == np.float32 else "<f8").astype(np_dt).tobytes()
+    return np.asarray(vals, dtype=np.int64).astype(np_dt).tobytes()
+
+
 class _GrpcInference:
     """KServe-v2 gRPC transport: generic unary calls + pbwire message codec."""
 
@@ -69,6 +105,7 @@ class _GrpcInference:
         ident = lambda b: b  # noqa: E731 — messages are pre-encoded bytes
         self._meta_call = channel.unary_unary(self._SVC + "ModelMetadata", request_serializer=ident, response_deserializer=ident)
         self._infer_call = channel.unary_unary(self._SVC + "ModelInfer", request_serializer=ident, response_deserializer=ident)
+        self._config_call = channel.unary_unary(self._SVC + "ModelConfig", request_serializer=ident, response_deserializer=ident)
 
     # -- ModelMetadata -------------------------------------------------------
     def metadata(self, model: str) -> dict:
@@ -96,6 +133,37 @@ class _GrpcInference:
                 md["outputs"].append(tensor_meta(v))
         return md
 
+    # -- ModelConfig (Triton extension) ---------------------------------------
+    def config_parameters(self, model: str) -> dict:
+        """Triton's ModelConfig call -> the config's string `parameters` map
+        (where the exporter stashes names/task/imgsz as parameters.metadata).
+        Best-effort: non-Triton KServe servers don't implement ModelConfig, so
+        any transport/parse failure returns {}."""
+        from drone_yolo_tpu.utils import pbwire as pb
+
+        try:
+            resp = self._config_call(pb.string_field(1, model), timeout=self.timeout)
+            params = {}
+            for f, _, v in pb.fields(resp):
+                if f != 1:  # ModelConfigResponse.config
+                    continue
+                for f2, _, v2 in pb.fields(v):
+                    if f2 != 14:  # ModelConfig.parameters map<string, ModelParameter>
+                        continue
+                    k = sv = None
+                    for f3, _, v3 in pb.fields(v2):  # map entry {key=1, value=2}
+                        if f3 == 1:
+                            k = v3.decode()
+                        elif f3 == 2:  # ModelParameter{string_value=1}
+                            for f4, _, v4 in pb.fields(v3):
+                                if f4 == 1:
+                                    sv = v4.decode()
+                    if k is not None and sv is not None:
+                        params[k] = sv
+            return params
+        except Exception:
+            return {}
+
     # -- ModelInfer ------------------------------------------------------------
     def infer(self, model: str, inputs, output_names) -> dict:
         """inputs: [(name, datatype, shape, raw_bytes)] -> {name: (datatype, shape, raw)}."""
@@ -114,7 +182,7 @@ class _GrpcInference:
         outs, raws = [], []
         for f, w, v in pb.fields(resp):
             if f == 5:  # ModelInferResponse.outputs (InferOutputTensor)
-                o = {"name": "", "datatype": "", "shape": []}
+                o = {"name": "", "datatype": "", "shape": [], "contents": b""}
                 for f2, w2, v2 in pb.fields(v):
                     if f2 == 1:
                         o["name"] = v2.decode()
@@ -122,12 +190,19 @@ class _GrpcInference:
                         o["datatype"] = v2.decode()
                     elif f2 == 3:
                         o["shape"] += pb.unpack_int64(v2) if w2 == pb.LEN else [v2]
+                    elif f2 == 5:  # .contents (InferTensorContents) — non-raw servers
+                        o["contents"] += v2
                 outs.append(o)
             elif f == 6:  # .raw_output_contents
                 raws.append(v)
-        if len(raws) != len(outs):
-            raise ValueError(f"server returned {len(outs)} output tensors but {len(raws)} raw buffers")
-        return {o["name"]: (o["datatype"], o["shape"], raw) for o, raw in zip(outs, raws)}
+        if len(raws) == len(outs):  # Triton: raw buffers, positionally matched
+            return {o["name"]: (o["datatype"], o["shape"], raw) for o, raw in zip(outs, raws)}
+        if not raws and all(o["contents"] for o in outs):  # KServe typed contents
+            return {o["name"]: (o["datatype"], o["shape"], _decode_contents(o["datatype"], o["contents"])) for o in outs}
+        raise ValueError(
+            f"server returned {len(outs)} output tensors but {len(raws)} raw buffers "
+            "and no typed InferTensorContents — unsupported response encoding"
+        )
 
 
 class TritonRemoteModel:
@@ -180,7 +255,10 @@ class TritonRemoteModel:
         if self._grpc is not None:  # gRPC: ModelMetadata carries the tensor signature
             md = self._grpc.metadata(self.endpoint)
             conv = lambda ts: [{"name": t["name"], "data_type": t["datatype"], "dims": t.get("shape", [])} for t in ts]  # noqa: E731
-            return {"input": conv(md.get("inputs", [])), "output": conv(md.get("outputs", [])), "parameters": {}}
+            # Triton's ModelConfig call (best-effort) carries parameters.metadata
+            # — class names/task/imgsz, same as the REST /config endpoint
+            params = self._grpc.config_parameters(self.endpoint)
+            return {"input": conv(md.get("inputs", [])), "output": conv(md.get("outputs", [])), "parameters": params}
         try:  # Triton's config endpoint: {"input": [{"name","data_type","dims"}..], "output": [..]}
             _, body = self._http("/config")
             return json.loads(body)

@@ -166,6 +166,13 @@ def test_triton_remote_model_grpc():
         tout = pb.string_field(1, "output0") + pb.string_field(2, "FP32") + pb.packed_int64_field(3, [-1])
         return pb.string_field(1, "yolo") + pb.bytes_field(4, tin) + pb.bytes_field(5, tout)
 
+    def model_config(request, context):  # Triton extension: parameters.metadata
+        import json
+
+        meta = json.dumps({"task": "detect", "names": {0: "drone"}})
+        entry = pb.string_field(1, "metadata") + pb.bytes_field(2, pb.string_field(1, meta))
+        return pb.bytes_field(1, pb.bytes_field(14, entry))  # ModelConfigResponse.config.parameters
+
     def model_infer(request, context):  # y = 2x echo with the request's shape
         shape, raw = None, None
         for f, w, v in pb.fields(request):
@@ -179,27 +186,81 @@ def test_triton_remote_model_grpc():
         out = pb.string_field(1, "output0") + pb.string_field(2, "FP32") + pb.packed_int64_field(3, list(y.shape))
         return pb.string_field(1, "yolo") + pb.bytes_field(5, out) + pb.bytes_field(6, y.tobytes())
 
+    def model_infer_contents(request, context):  # KServe typed-contents variant (no raw buffers)
+        shape, raw = None, None
+        for f, w, v in pb.fields(request):
+            if f == 5:
+                for f2, w2, v2 in pb.fields(v):
+                    if f2 == 3:
+                        shape = pb.unpack_int64(v2)
+            elif f == 7:
+                raw = v
+        y = (np.frombuffer(raw, np.float32).reshape(shape) * 2).astype(np.float32)
+        contents = pb.bytes_field(6, y.astype("<f4").tobytes())  # InferTensorContents.fp32_contents (packed)
+        out = (
+            pb.string_field(1, "output0")
+            + pb.string_field(2, "FP32")
+            + pb.packed_int64_field(3, list(y.shape))
+            + pb.bytes_field(5, contents)  # InferOutputTensor.contents
+        )
+        return pb.string_field(1, "yolo") + pb.bytes_field(5, out)
+
     ident = lambda b: b  # noqa: E731
-    handler = grpc.method_handlers_generic_handler(
-        "inference.GRPCInferenceService",
-        {
-            "ModelMetadata": grpc.unary_unary_rpc_method_handler(model_metadata, ident, ident),
-            "ModelInfer": grpc.unary_unary_rpc_method_handler(model_infer, ident, ident),
-        },
-    )
-    server = grpc.server(futures.ThreadPoolExecutor(max_workers=2))
-    server.add_generic_rpc_handlers((handler,))
-    port = server.add_insecure_port("127.0.0.1:0")
-    server.start()
+
+    def serve(methods):
+        handler = grpc.method_handlers_generic_handler(
+            "inference.GRPCInferenceService",
+            {name: grpc.unary_unary_rpc_method_handler(fn, ident, ident) for name, fn in methods.items()},
+        )
+        server = grpc.server(futures.ThreadPoolExecutor(max_workers=2))
+        server.add_generic_rpc_handlers((handler,))
+        port = server.add_insecure_port("127.0.0.1:0")
+        server.start()
+        return server, port
+
+    x = np.arange(24, dtype=np.float32).reshape(2, 2, 2, 3)
+
+    # Triton-style server: raw buffers + ModelConfig metadata
+    server, port = serve({"ModelMetadata": model_metadata, "ModelConfig": model_config, "ModelInfer": model_infer})
     try:
         m = TritonRemoteModel(f"grpc://127.0.0.1:{port}/yolo")
         assert m.endpoint == "yolo" and m.input_names == ["images"] and m.output_names == ["output0"]
-        assert m.np_input_formats == [np.float32] and m.metadata is None
-        x = np.arange(24, dtype=np.float32).reshape(2, 2, 2, 3)
+        assert m.np_input_formats == [np.float32]
+        assert m.metadata == {"task": "detect", "names": {"0": "drone"}}  # ADVICE r4: metadata flows over gRPC
         (y,) = m(x)
         np.testing.assert_allclose(y, x * 2)
     finally:
         server.stop(0)
+
+    # KServe server without ModelConfig, answering with typed contents: metadata
+    # degrades to None, inference still decodes
+    server, port = serve({"ModelMetadata": model_metadata, "ModelInfer": model_infer_contents})
+    try:
+        m = TritonRemoteModel(f"grpc://127.0.0.1:{port}/yolo")
+        assert m.metadata is None
+        (y,) = m(x)
+        np.testing.assert_allclose(y, x * 2)
+    finally:
+        server.stop(0)
+
+
+def test_pbwire_malformed_input_errors():
+    """Truncated/overlong wire data raises ValueError, not IndexError/garbage
+    (ADVICE r4)."""
+    import pytest
+
+    from drone_yolo_tpu.utils import pbwire as pb
+
+    with pytest.raises(ValueError, match="truncated"):
+        pb.decode_varint(b"\x80\x80", 0)  # continuation bit set, buffer ends
+    with pytest.raises(ValueError, match="64 bits"):
+        pb.decode_varint(b"\x80" * 10 + b"\x01", 0)
+    good = pb.bytes_field(1, b"payload-bytes")
+    assert list(pb.fields(good)) == [(1, pb.LEN, b"payload-bytes")]
+    with pytest.raises(ValueError, match="truncated"):
+        list(pb.fields(good[:-4]))  # LEN payload cut short
+    with pytest.raises(ValueError, match="truncated"):
+        list(pb.fields(pb.key(2, pb.I64) + b"\x00\x01"))  # I64 needs 8 bytes
 
 
 def test_rf100_benchmark_local_manifest(tmp_path):
