@@ -59,6 +59,32 @@ def build_step(model_name: str, imgsz: int, nc: int):
     return model, variables, step
 
 
+def make_labels(rng, batch: int, imgsz: int, nc: int) -> dict:
+    """Synthetic padded labels. Default: the historical 32-slot batch. With
+    PROF_MAXBOXES/PROF_NOBJ set, a dense drone-regime load (e.g. 1024 slots,
+    456 valid small boxes — what the dense proxy's mosaic labels pad to), the
+    label shape all (B, M, A) assigner tensors key off."""
+    m = int(os.environ.get("PROF_MAXBOXES", 32))
+    nobj = int(os.environ.get("PROF_NOBJ", m))
+    lo, hi = (int(x) for x in os.environ.get("PROF_OBJPX", "6,36").split(","))
+    cls = np.zeros((batch, m), np.float32)
+    boxes = np.zeros((batch, m, 4), np.float32)
+    mask = np.zeros((batch, m), np.float32)
+    if "PROF_MAXBOXES" not in os.environ and "PROF_NOBJ" not in os.environ:
+        boxes[:] = np.array([10, 10, 100, 100], np.float32)
+        mask[:] = 1.0
+        return {"cls": cls, "bboxes": boxes, "mask": mask}
+    for i in range(batch):
+        w = rng.uniform(lo, hi, nobj)
+        h = rng.uniform(lo, hi, nobj)
+        cx = rng.uniform(hi, imgsz - hi, nobj)
+        cy = rng.uniform(hi, imgsz - hi, nobj)
+        boxes[i, :nobj] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+        cls[i, :nobj] = rng.integers(0, nc, nobj)
+        mask[i, :nobj] = 1.0
+    return {"cls": cls, "bboxes": boxes, "mask": mask}
+
+
 def collect(trace_dir: str):
     """Aggregate per-op device durations from the newest xplane in trace_dir."""
     from jax.profiler import ProfileData
@@ -163,9 +189,7 @@ def main():
     img_u8 = rng.integers(0, 255, (args.batch, args.imgsz, args.imgsz, 3), np.uint8)
     batch = {
         "img": jnp.asarray(img_u8) if args.infer else jnp.asarray(img_u8.astype(np.float32)),
-        "cls": jnp.zeros((args.batch, 32), jnp.float32),
-        "bboxes": jnp.asarray(np.tile(np.array([10, 10, 100, 100], np.float32), (args.batch, 32, 1))),
-        "mask": jnp.ones((args.batch, 32), jnp.float32),
+        **{k: jnp.asarray(v) for k, v in make_labels(rng, args.batch, args.imgsz, args.nc).items()},
     }
     params = jax.device_put(variables)
 
