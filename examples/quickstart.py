@@ -2,9 +2,9 @@
 """Runnable quickstart: predict -> train -> val -> export -> reload-artifact.
 
 The framework analog of the reference's `examples/tutorial.ipynb`, as a
-headless CPU-friendly script (<5 min on a laptop core; no downloads — a tiny
-synthetic coco8-style dataset is generated in a temp dir, matching the
-zero-egress test strategy).
+headless CPU-friendly script (measured 1m48s cold / faster warm on this
+sandbox's single CPU core; no downloads — a tiny synthetic coco8-style
+dataset is generated in a temp dir, matching the zero-egress test strategy).
 
     JAX_PLATFORMS=cpu python examples/quickstart.py [workdir]
 
@@ -53,6 +53,23 @@ def make_tiny_dataset(root: Path, n_train=16, n_val=8, size=128, nc=4, seed=0) -
 def main() -> int:
     work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="dyt_quickstart_"))
     print(f"== workdir: {work}")
+
+    # persistent XLA compile cache: without it every invocation pays the full
+    # jit cost of train/val/predict graphs (~minutes on a 1-CPU box); with it
+    # re-runs start near-instant (same mechanism as tests/conftest.py).
+    import os
+
+    import jax
+
+    # Honor JAX_PLATFORMS even when a site plugin re-pointed jax_platforms
+    # after reading the env (tests/conftest.py does the same): env var wins.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    _cache = Path(__file__).resolve().parents[1] / ".jax_cache_quickstart"
+    _cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from drone_yolo_tpu import YOLO
 
