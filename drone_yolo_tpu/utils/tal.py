@@ -85,18 +85,95 @@ def kth_largest(x, k: int, block: int = 128):
     xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, g * block - a)], constant_values=pad_val)
     xb = xb.reshape(*x.shape[:-1], g, block)
     bmax = jnp.max(xb, axis=-1)  # (..., G)
+    # NOTE on layouts: top_k prefers a rows-in-lanes layout and XLA propagates
+    # that preference upward; pinning bmax (or the blocked tensor) with
+    # jax.experimental.layout.with_layout_constraint was measured STRICTLY
+    # WORSE at the dense M=512 load — the pin re-introduced full relayout
+    # copies of the 2.2 GB align tensor ({2,1,0}->{1,2,0} + a {3,2,1,0} copy)
+    # and blew compile time past 10 min. Leave layout assignment alone here.
     _, bidx = jax.lax.top_k(bmax, k)  # (..., k) distinct block ids
+    # Pull the k winning blocks' elements with a one-hot MXU contraction
+    # (layout-agnostic; an HLO gather here re-introduces a relayout copy of
+    # the full operand to its preferred layout).
     oh = jax.nn.one_hot(bidx, g, dtype=x.dtype)  # (..., k, G)
     cand = jnp.einsum("...kg,...gx->...kx", oh, xb, precision=jax.lax.Precision.HIGHEST)
     cand = cand.reshape(*x.shape[:-1], k * block)
     return _kth_largest_passes(cand, k)
 
 
+def _fpow(x, p: float):
+    """x**p for non-negative x with fast paths for the assigner's exponents.
+
+    A float-exponent `pow` lowers to exp(p*log(x)) — two transcendentals per
+    element of the (B, M, A) align tensor (xprof: the align fusion ran at
+    ~2.5x its HBM-traffic roof at the dense M=512 load). alpha=0.5 / beta=6.0
+    (the reference defaults, tal.py:60) become one rsqrt-class op / three
+    multiplies; other exponents fall back to the generic pow."""
+    if p == 0.5:
+        return jnp.sqrt(x)
+    if p == float(int(p)) and 1 <= int(p) <= 8:
+        n, y, b = int(p), None, x
+        while n:  # square-and-multiply
+            if n & 1:
+                y = b if y is None else y * b
+            n >>= 1
+            if n:
+                b = b * b
+        return y
+    return x**p
+
+
 def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
-    """(A, 2) anchor centers inside (B, M, 4) xyxy GT boxes -> (B, M, A) bool."""
-    lt = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, :2]  # (B,M,A,2)
-    rb = gt_bboxes[:, :, None, 2:] - xy_centers[None, None, :, :]
-    return jnp.min(jnp.concatenate([lt, rb], axis=-1), axis=-1) > eps
+    """(A, 2) anchor centers inside (B, M, 4) xyxy GT boxes -> (B, M, A) bool.
+
+    Written as a min-of-4 chain (bit-identical to the reference's
+    concat+amin, tal.py:153) instead of materializing (B, M, A, 2) lt/rb
+    halves: the concat form made XLA write two full fp32 (B, M, A) tensors
+    before the reduce (xprof: 2x subtract_reduce_fusion + a 7.8 ms consumer
+    at the dense M=512 load); this form is one fused pass writing only the
+    1-byte mask."""
+    x, y = xy_centers[:, 0][None, None, :], xy_centers[:, 1][None, None, :]  # (1,1,A)
+    x1, y1, x2, y2 = (gt_bboxes[..., i][..., None] for i in range(4))  # (B,M,1)
+    d = jnp.minimum(jnp.minimum(x - x1, y - y1), jnp.minimum(x2 - x, y2 - y))
+    return d > eps
+
+
+def _ciou_gt_pd(gt, pd, eps: float = 1e-7):
+    """CIoU of (B, M, 4) GT boxes vs (B, A, 4) predicted boxes -> (B, M, A).
+
+    Same math as `bbox_iou(gt[:, :, None], pd[:, None], xywh=False, CIoU=True)`
+    (reference metrics.py:74) with the arctan aspect terms HOISTED to their
+    natural (B, M) / (B, A) extents behind an optimization_barrier: inlined
+    into the fused (B, M, A) loop XLA re-evaluates the transcendental per
+    GT-anchor pair (557M arctans at the dense M=512 load) instead of M+A
+    times."""
+    gx1, gy1, gx2, gy2 = (gt[..., i] for i in range(4))  # (B, M)
+    px1, py1, px2, py2 = (pd[..., i] for i in range(4))  # (B, A)
+    w1, hy1 = gx2 - gx1, gy2 - gy1
+    w2, hy2 = px2 - px1, py2 - py1
+    at_gt = jax.lax.optimization_barrier(jnp.arctan(w1 / (hy1 + 2 * eps)))  # (B, M)
+    at_pd = jax.lax.optimization_barrier(jnp.arctan(w2 / (hy2 + 2 * eps)))  # (B, A)
+    area1 = jax.lax.optimization_barrier(w1 * hy1)
+    area2 = jax.lax.optimization_barrier(w2 * hy2)
+
+    def G(t):  # broadcast a (B, M) gt term
+        return t[:, :, None]
+
+    def P(t):  # broadcast a (B, A) pd term
+        return t[:, None, :]
+
+    inter = jnp.clip(jnp.minimum(G(gx2), P(px2)) - jnp.maximum(G(gx1), P(px1)), 0, None) * jnp.clip(
+        jnp.minimum(G(gy2), P(py2)) - jnp.maximum(G(gy1), P(py1)), 0, None
+    )
+    union = G(area1) + P(area2) - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(G(gx2), P(px2)) - jnp.minimum(G(gx1), P(px1))
+    ch = jnp.maximum(G(gy2), P(py2)) - jnp.minimum(G(gy1), P(py1))
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((P(px1) + P(px2) - G(gx1) - G(gx2)) ** 2 + (P(py1) + P(py2) - G(gy1) - G(gy2)) ** 2) / 4
+    v = (4 / jnp.pi**2) * (P(at_pd) - G(at_gt)) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
 
 
 @partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
@@ -119,6 +196,20 @@ def assign(
     m = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(bool).reshape(b, m)
 
+    # Pad the anchor axis to a multiple of the kth_largest block so the
+    # blocked top-k reshape is pad-free (a trailing jnp.pad of the fp32
+    # (B, M, A) align tensor cost 6.8 ms at the dense M=512 load). Padded
+    # anchors sit at -1e6 (outside every GT -> align exactly 0, which can
+    # never displace the k-th largest of a non-negative metric) and padded
+    # pred boxes are degenerate-but-finite so CIoU stays NaN-free.
+    a_pad = (-a) % 128 if a > 4 * topk * 128 else 0
+    if a_pad:
+        anc_points = jnp.pad(anc_points, ((0, a_pad), (0, 0)), constant_values=-1e6)
+        pd_scores = jnp.pad(pd_scores, ((0, 0), (0, a_pad), (0, 0)))
+        pd_bboxes = jnp.concatenate(
+            [pd_bboxes, jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 1.0], pd_bboxes.dtype), (b, a_pad, 1))], axis=1
+        )
+
     # ---- alignment metric over all (gt, anchor) pairs ----------------------
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
     # class score of each anchor at each GT's class. One-hot CONTRACTION, not
@@ -129,11 +220,16 @@ def assign(
     gl = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)  # (B, M)
     oh_cls = jax.nn.one_hot(gl, nc, dtype=pd_scores.dtype)  # (B, M, nc)
     bov = jnp.einsum("bmc,bac->bma", oh_cls, pd_scores, precision=jax.lax.Precision.HIGHEST)
-    overlaps = jnp.clip(
-        bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0, None
-    )  # (B, M, A)
+    overlaps = jnp.clip(_ciou_gt_pd(gt_bboxes, pd_bboxes), 0, None)  # (B, M, A)
     valid = mask_in_gts & mask_gt[:, :, None]
-    align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
+    align = jnp.where(valid, _fpow(bov, alpha) * _fpow(overlaps, beta), 0.0)
+    # Force ONE materialization: without the barrier XLA's HBM rematerializer
+    # recomputes this 2.2 GB fusion in full for the late consumers (xprof:
+    # fusion.4 + fusion.4.remat, 2x 13.9 ms/step at the dense M=512 load).
+    # (Materializing `overlaps` alongside was measured NET NEGATIVE: the extra
+    # production pass + relayout copy cost more than the consumers' inline
+    # CIoU recompute saves.)
+    align = jax.lax.optimization_barrier(align)
 
     # ---- top-k candidates per GT (threshold against k-th largest) ----------
     kth = kth_largest(align, topk)  # (B, M, 1)
@@ -165,6 +261,10 @@ def assign(
 
     target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = target_scores * (fg_mask[..., None] * norm_metric[..., None])
+    if a_pad:  # drop the padded anchor slots (their fg_mask is provably False)
+        target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx = (
+            t[:, :a] for t in (target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
+        )
     return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
 
 
@@ -220,7 +320,7 @@ def assign_rotated(
     bov = jnp.einsum("bmc,bac->bma", oh_cls, pd_scores, precision=jax.lax.Precision.HIGHEST)
     overlaps = jnp.clip(probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0, None)
     valid = mask_in_gts & mask_gt[:, :, None]
-    align = jnp.where(valid, (bov**alpha) * (overlaps**beta), 0.0)
+    align = jnp.where(valid, _fpow(bov, alpha) * _fpow(overlaps, beta), 0.0)
 
     kth = kth_largest(align, topk)
     mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)

@@ -49,6 +49,7 @@ SMOKE_MODULES = {
     "test_trackers_tiling",
     "test_ops_convert",
     "test_pallas_kernels",
+    "test_tal",
 }
 
 
