@@ -34,6 +34,10 @@ def bench_one(model_name: str, batch: int, imgsz: int, iters: int, pre_topk: int
 
     model = DetectionModel(model_name)
     variables = model.fuse(model.init(jax.random.PRNGKey(0), imgsz=imgsz))
+    if os.environ.get("BENCH_LANEPAD", "") == "1":
+        # lane-pad the narrow P1/P2 convs inside the traced forward (exact,
+        # ~2e-5 fp32 reassociation noise; composes with fused weights)
+        print(f"lane_pad: {model.enable_lane_pad()} modules", file=sys.stderr)
 
     @jax.jit
     def fn(variables, x):

@@ -105,7 +105,15 @@ class YOLODataset:
         mosaic_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mosaic", 0) or 0) > 0
         mixup_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mixup", 0) or 0) > 0
         headroom = (5 if mixup_on else 4) if mosaic_on else (2 if mixup_on else 1.25)
-        self.max_labels = max_labels or min(max(32, int(2 ** math.ceil(math.log2(max(n_max * headroom, 1))))), 2048)
+        # round UP to a lane/sublane-friendly multiple, not the next power of 2:
+        # at dense drone-regime loads (~130 obj/img * 4 mosaic headroom = 520)
+        # pow2 padding doubled every (B, M, A) assigner tensor (520 -> 1024 vs
+        # 640) — 60% more TAL work and the r5 OOM at b32/640px. Multiples of
+        # 128 keep the M-contraction einsums MXU-aligned; small datasets round
+        # to 32 (sublane granule).
+        need = int(max(n_max * headroom, 1))
+        q = 32 if need <= 128 else 128
+        self.max_labels = max_labels or min(max(32, -(-need // q) * q), 2048)
         self.transforms = self.build_transforms(hyp)
 
     # -- files & labels -------------------------------------------------------

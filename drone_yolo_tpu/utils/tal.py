@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from drone_yolo_tpu.ops.boxes import bbox_iou
 
+# align-tensor materialization pin (see `assign`): above this size the pinned
+# buffer risks the HBM roof (v5e: 15.75 GB usable; the b32 M=1024 A=34k dense
+# e2e step OOM'd with it pinned) and remat is the right trade.
+_BARRIER_MAX_BYTES = int(__import__("os").environ.get("DYT_TAL_BARRIER_MAX_BYTES", 2_500_000_000))
+
 
 def _kth_largest_passes(x, k: int):
     """EXACT k-th largest value along the last axis, keepdims, WITHOUT a sort.
@@ -228,8 +233,11 @@ def assign(
     # fusion.4 + fusion.4.remat, 2x 13.9 ms/step at the dense M=512 load).
     # (Materializing `overlaps` alongside was measured NET NEGATIVE: the extra
     # production pass + relayout copy cost more than the consumers' inline
-    # CIoU recompute saves.)
-    align = jax.lax.optimization_barrier(align)
+    # CIoU recompute saves.) Size-guarded: at the e2e dense load (M=1024 was
+    # 4.25 GB) pinning the buffer pushed the step past the 15.75 GB HBM roof —
+    # beyond the cap XLA's rematerializer is the memory-correct choice.
+    if align.size * 4 <= _BARRIER_MAX_BYTES:
+        align = jax.lax.optimization_barrier(align)
 
     # ---- top-k candidates per GT (threshold against k-th largest) ----------
     kth = kth_largest(align, topk)  # (B, M, 1)
@@ -240,17 +248,20 @@ def assign(
     fg_mask = jnp.any(mask_pos, axis=1)  # (B, A)
     ov_masked = jnp.where(mask_pos, overlaps, -1.0)
     target_gt_idx = jnp.argmax(ov_masked, axis=1)  # (B, A)
-    # rebuild the deduplicated positive mask for metric normalization
-    onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=align.dtype)  # (B, M, A)
+    # rebuild the deduplicated positive mask for metric normalization. bf16:
+    # one-hot values are exact in every dtype, and at the dense load the fp32
+    # (B, M, A) one-hot was a 2.8-4.5 GB buffer read by two einsums — bf16
+    # halves its HBM footprint and traffic with zero numeric change (mixed
+    # bf16x f32 einsums promote to f32; the single nonzero term is 1.0).
+    onehot_gt = jax.nn.one_hot(target_gt_idx, m, axis=1, dtype=jnp.bfloat16)  # (B, M, A)
     mask_pos = (onehot_gt > 0) & fg_mask[:, None, :] & mask_pos
 
-    # ---- targets (one-hot contractions over M — same MXU trick as bov) -----
-    target_labels = jnp.einsum(
-        "bma,bm->ba", onehot_gt, gl.astype(onehot_gt.dtype), precision=jax.lax.Precision.HIGHEST
-    ).astype(jnp.int32)  # (B, A)
-    target_bboxes = jnp.einsum(
-        "bma,bmc->bac", onehot_gt, gt_bboxes, precision=jax.lax.Precision.HIGHEST
-    )  # (B, A, 4)
+    # ---- targets (ONE one-hot contraction over M — same MXU trick as bov;
+    # labels ride as a 5th "coordinate" so the big one-hot is read once) -----
+    gt_cat = jnp.concatenate([gt_bboxes, gl.astype(jnp.float32)[..., None]], axis=-1)  # (B, M, 5)
+    tgt = jnp.einsum("bma,bmc->bac", onehot_gt, gt_cat, precision=jax.lax.Precision.HIGHEST)
+    target_bboxes = tgt[..., :4]  # (B, A, 4)
+    target_labels = tgt[..., 4].astype(jnp.int32)  # (B, A)
 
     # normalized alignment scores (reference tal.py:118-127)
     align_pos = jnp.where(mask_pos, align, 0.0)

@@ -241,8 +241,19 @@ def cmd_ablation():
     from drone_yolo_tpu.engine.model import YOLO
 
     hyps = dict(HYPS, epochs=epochs, imgsz=imgsz)
-    results = {}
+    if os.environ.get("ABL_AMP", "") == "1":
+        # the ablation is an OUR-FRAMEWORK architecture-ordering claim (not a
+        # torch-numerics comparison like cmd_ours), so the production bf16
+        # training mode is the honest setting — and ~3x faster on the MXU
+        hyps["amp"] = True
+    # incremental: per-model rows land in ablation_partial.json as they finish
+    # so an interrupted run still leaves evidence (and re-runs skip done rows)
+    partial_path = WORK / "ablation_partial.json"
+    results = json.loads(partial_path.read_text()) if partial_path.exists() else {}
     for model_yaml in models:
+        if model_yaml in results:
+            print("skip (cached):", model_yaml, results[model_yaml], flush=True)
+            continue
         t0 = time.time()
         facade = YOLO(model_yaml, task="detect")
         facade.train(
@@ -259,6 +270,7 @@ def cmd_ablation():
             "map50": round(float(rd["metrics/mAP50(B)"]), 4),
             "train_seconds": round(time.time() - t0, 1),
         }
+        partial_path.write_text(json.dumps(results, indent=1))
         print(model_yaml, results[model_yaml], flush=True)
 
     plain, p2, sf = (results[m]["map50_95"] for m in models)
