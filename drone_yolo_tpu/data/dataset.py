@@ -26,6 +26,19 @@ from drone_yolo_tpu.utils import LOGGER, NUM_THREADS, TQDM, colorstr
 DATASET_CACHE_VERSION = "1.0"
 
 
+def round_label_slots(n_max: int, headroom: float) -> int:
+    """Static GT-slot count: n_max labels/img x aug headroom, rounded UP to a
+    lane/sublane-friendly multiple — NOT the next power of 2. At dense
+    drone-regime loads (~130 obj/img x 4 mosaic headroom = 520 needed slots)
+    pow2 padding doubled every (B, M, A) assigner tensor (520 -> 1024 vs 640):
+    60% extra TAL work and an HBM OOM at b32/640px (ROUND5.md §1b). Multiples
+    of 128 keep the M-contraction einsums MXU-aligned; small datasets round to
+    32 (sublane granule). Floor 32, cap 2048 (fg-slot cap, loss.py)."""
+    need = int(max(n_max * headroom, 1))
+    q = 32 if need <= 128 else 128
+    return min(max(32, -(-need // q) * q), 2048)
+
+
 class YOLODataset:
     """Detection/segment/pose dataset over YOLO-txt labels."""
 
@@ -105,15 +118,7 @@ class YOLODataset:
         mosaic_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mosaic", 0) or 0) > 0
         mixup_on = augment and not self.device_aug and hyp is not None and (getattr(hyp, "mixup", 0) or 0) > 0
         headroom = (5 if mixup_on else 4) if mosaic_on else (2 if mixup_on else 1.25)
-        # round UP to a lane/sublane-friendly multiple, not the next power of 2:
-        # at dense drone-regime loads (~130 obj/img * 4 mosaic headroom = 520)
-        # pow2 padding doubled every (B, M, A) assigner tensor (520 -> 1024 vs
-        # 640) — 60% more TAL work and the r5 OOM at b32/640px. Multiples of
-        # 128 keep the M-contraction einsums MXU-aligned; small datasets round
-        # to 32 (sublane granule).
-        need = int(max(n_max * headroom, 1))
-        q = 32 if need <= 128 else 128
-        self.max_labels = max_labels or min(max(32, -(-need // q) * q), 2048)
+        self.max_labels = max_labels or round_label_slots(n_max, headroom)
         self.transforms = self.build_transforms(hyp)
 
     # -- files & labels -------------------------------------------------------

@@ -62,6 +62,21 @@ def test_letterbox_transform_updates_boxes():
     np.testing.assert_allclose(out["bboxes"][0], boxes[0] * r + [dw, dh, dw, dh], atol=0.5)
 
 
+def test_max_labels_rounding(dataset):
+    """GT-slot padding rounds to x32 (<=128) / x128 multiples, NOT pow2: at
+    dense drone loads (520 needed slots) pow2 padded to 1024 and doubled every
+    (B, M, A) assigner tensor (r5 OOM at b32/640px)."""
+    from drone_yolo_tpu.data.dataset import round_label_slots
+
+    assert round_label_slots(10, 1.25) == 32  # tiny datasets keep the floor
+    assert round_label_slots(100, 1.25) == 128  # boundary stays sublane-sized
+    assert round_label_slots(130, 4) == 640  # dense mosaic load: was 1024 pow2
+    assert round_label_slots(500, 5) == 2048  # cap unchanged
+    # the real dataset wires it: enough slots for every sample, x32-aligned
+    n_max = max(len(lb["cls"]) for lb in dataset.labels)
+    assert dataset.max_labels % 32 == 0 and dataset.max_labels >= n_max
+
+
 def test_collate_padding(dataset):
     samples = [dataset[i] for i in range(4)]
     batch = dataset.collate(samples)
