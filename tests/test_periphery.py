@@ -71,6 +71,55 @@ def test_object_counter_line_crossing(monkeypatch):
     assert out["classwise"]["person"]["IN"] + out["classwise"]["person"]["OUT"] == 1
 
 
+def test_distance_calculation_mouse_selection():
+    """Interactive pair selection (reference distance_calculation.py:50
+    mouse_event_for_distance): clicks pick tracked boxes, right-click resets —
+    driven headlessly through the cv2-compatible callback."""
+    import cv2
+
+    from drone_yolo_tpu.solutions.distance_calculation import DistanceCalculation
+
+    class FakeModel:
+        names = {0: "person"}
+
+        def track(self, source, **kw):
+            return [self._r]
+
+    class R:
+        def __init__(self):
+            from drone_yolo_tpu.engine.results import Boxes
+
+            self.boxes = Boxes(
+                np.array(
+                    [
+                        [10, 10, 30, 30, 1, 0.9, 0],
+                        [60, 60, 90, 90, 2, 0.9, 0],
+                        [40, 5, 50, 15, 3, 0.9, 0],
+                    ],
+                    np.float32,
+                ),
+                (100, 100),
+            )
+            self.orig_img = np.zeros((100, 100, 3), np.uint8)
+
+    fake = FakeModel()
+    fake._r = R()
+    dc = DistanceCalculation(model=fake, meters_per_pixel=0.1)
+    out = dc.process(np.zeros((100, 100, 3), np.uint8))  # default: first two tracks
+    assert out["pair"] == [1, 2]
+
+    dc.mouse_event_for_distance(cv2.EVENT_LBUTTONDOWN, 45, 10)  # box of track 3
+    dc.mouse_event_for_distance(cv2.EVENT_LBUTTONDOWN, 20, 20)  # box of track 1
+    out = dc.process(np.zeros((100, 100, 3), np.uint8))
+    assert out["pair"] == [3, 1]
+    # centers (45,10) vs (20,20): hypot(25,10)*0.1 m
+    assert abs(out["distance_m"] - np.hypot(25, 10) * 0.1) < 1e-6
+
+    dc.mouse_event_for_distance(cv2.EVENT_RBUTTONDOWN, 0, 0)  # reset
+    out = dc.process(np.zeros((100, 100, 3), np.uint8))
+    assert out["pair"] == [1, 2]
+
+
 def test_export_stablehlo_roundtrip(tmp_path):
     import jax
 
