@@ -41,7 +41,7 @@ COMMON = dict(
     lr0=0.01,
     lrf=0.01,
     nbs=None,  # set per-task batch below; nbs==batch -> accumulate=1
-    mosaic=1.0,
+    mosaic=float(os.environ.get("DAA_MOSAIC", 1.0)),  # 0 isolates affine/HSV/flip
     close_mosaic=max(2, EPOCHS // 4),
     scale=0.5,
     translate=0.1,
